@@ -1,0 +1,215 @@
+"""Checkpoint porter: torch ``state_dict`` -> flax variable pytrees.
+
+Consumes state dicts saved by the reference's experiment scripts
+(``torch.save(model.state_dict(), ...)``, exp180d...py:372-378) or the shipped
+pretrained ``.pt`` files, and emits ``{'params': ..., 'batch_stats': ...}``
+for the matching flax model class in this package.
+
+Layout conversions:
+- Conv2d OIHW -> HWIO; Linear (out,in) -> (in,out);
+- the harmonic LayerNorm affine (C,F) -> (F,C) (we keep NHWC maps);
+- MultiheadAttention packed in_proj / out_proj kept in torch layout
+  (ops.attention applies them torch-style);
+- LSTM weights kept in torch layout (ops.lstm applies them torch-style).
+"""
+
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _conv(sd, p):
+    out = {"kernel": _np(sd[f"{p}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{p}.bias" in sd:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
+def _dense(sd, p, bias=True):
+    out = {"kernel": _np(sd[f"{p}.weight"]).T}
+    if bias and f"{p}.bias" in sd:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
+def _ln(sd, p):
+    return {"scale": _np(sd[f"{p}.weight"]), "bias": _np(sd[f"{p}.bias"])}
+
+
+def _harmonic_ln(sd, p):
+    # torch stores (C, F); our NHWC layout wants (F, C).
+    return {"scale": _np(sd[f"{p}.weight"]).T, "bias": _np(sd[f"{p}.bias"]).T}
+
+
+def _bn(sd, p):
+    params = {"scale": _np(sd[f"{p}.weight"]), "bias": _np(sd[f"{p}.bias"])}
+    stats = {"mean": _np(sd[f"{p}.running_mean"]), "var": _np(sd[f"{p}.running_var"])}
+    return params, stats
+
+
+def _mha(sd, p):
+    return {
+        "in_proj_weight": _np(sd[f"{p}.in_proj_weight"]),
+        "in_proj_bias": _np(sd[f"{p}.in_proj_bias"]),
+        "out_proj_weight": _np(sd[f"{p}.out_proj.weight"]),
+        "out_proj_bias": _np(sd[f"{p}.out_proj.bias"]),
+    }
+
+
+def _lstm(sd, p):
+    prefix = f"{p}."
+    return {k[len(prefix):]: _np(v) for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _transformer_enc(sd, p, learnable_pe=False):
+    out = {
+        "q_linear": _dense(sd, f"{p}.q_linear", bias=False),
+        "k_linear": _dense(sd, f"{p}.k_linear", bias=False),
+        "v_linear": _dense(sd, f"{p}.v_linear", bias=False),
+        "o_linear": _dense(sd, f"{p}.o_linear", bias=False),
+        "attn": _mha(sd, f"{p}.attn"),
+        "mlp1": _dense(sd, f"{p}.mlp.0"),
+        "mlp2": _dense(sd, f"{p}.mlp.2"),
+        "layernorm1": _ln(sd, f"{p}.layernorm1"),
+        "layernorm2": _ln(sd, f"{p}.layernorm2"),
+    }
+    if learnable_pe:
+        out["pe"] = _np(sd[f"{p}.pe"])
+    return out
+
+
+def _double_conv(sd, p):
+    """Port a reference ``double_conv`` Sequential, resolving which of the
+    three layouts it was built with (unet_cnns.py:40-70):
+
+    - convdrop=None:  0 conv, 1 bn, 3 conv, 4 bn
+    - convdrop=p:     0 conv, 1 bn, 4 conv, 5 bn   (the default path)
+    - alt_order:      1 bn, 3 conv, 5 bn, 7 conv
+    """
+    q = f"{p}.double_conv"
+    params: Dict = {}
+    stats: Dict = {}
+    if f"{q}.0.weight" in sd and _np(sd[f"{q}.0.weight"]).ndim == 4:
+        params["conv1"] = _conv(sd, f"{q}.0")
+        params["bn1"], stats["bn1"] = _bn(sd, f"{q}.1")
+        idx = 4 if f"{q}.4.weight" in sd and _np(sd[f"{q}.4.weight"]).ndim == 4 else 3
+        params["conv2"] = _conv(sd, f"{q}.{idx}")
+        params["bn2"], stats["bn2"] = _bn(sd, f"{q}.{idx + 1}")
+    else:  # alt_order
+        params["bn1"], stats["bn1"] = _bn(sd, f"{q}.1")
+        params["conv1"] = _conv(sd, f"{q}.3")
+        params["bn2"], stats["bn2"] = _bn(sd, f"{q}.5")
+        params["conv2"] = _conv(sd, f"{q}.7")
+    if f"{p}.resize.weight" in sd:
+        params["resize"] = _conv(sd, f"{p}.resize")
+    return params, stats
+
+
+def _pitch_head(sd, conv2="conv2.0", conv3="conv3.0", conv4="conv4.0",
+                conv5="conv4.3"):
+    return {
+        "conv2": {"conv": _conv(sd, conv2)},
+        "conv3": {"conv": _conv(sd, conv3)},
+        "conv4": {"conv": _conv(sd, conv4)},
+        "conv5": _conv(sd, conv5),
+    }
+
+
+# --------------------------------------------------------------------------
+# basic_cnns.py family
+# --------------------------------------------------------------------------
+
+def port_basic_cnn(sd):
+    """basic_cnn / basic_cnn_pool / basic_cnn_segm_sigmoid share key names."""
+    params = {
+        "layernorm": {"ln": _harmonic_ln(sd, "layernorm")},
+        "conv1": {"conv": _conv(sd, "conv1.0")},
+        "conv2": {"conv": _conv(sd, "conv2.0")},
+        "conv3": {"conv": _conv(sd, "conv3.0")},
+        "conv4": {"conv": _conv(sd, "conv4.0")},
+        "conv5": _conv(sd, "conv4.3"),
+    }
+    return {"params": params}
+
+
+def port_basic_cnn_segm(sd, n_out_convs=1):
+    """Segm variants: trunk(layernorm+conv1) + head(conv2..conv5)."""
+    params = {
+        "trunk": {
+            "layernorm": {"ln": _harmonic_ln(sd, "layernorm")},
+            "conv1": {"conv": _conv(sd, "conv1.0")},
+        },
+        "head": _pitch_head(sd),
+    }
+    return {"params": params}
+
+
+def port_basic_cnn_segm_blank(sd):
+    params = {
+        "trunk": {
+            "layernorm": {"ln": _harmonic_ln(sd, "layernorm")},
+            "conv1": {"conv": _conv(sd, "conv1.0")},
+        },
+        "conv2": {"conv": _conv(sd, "conv2.0")},
+        "conv3": {"conv": _conv(sd, "conv3.0")},
+        "conv4": {"conv": _conv(sd, "conv4.0")},
+        "conv5a": _conv(sd, "conv5a"),
+        "conv5b": _conv(sd, "conv5b"),
+    }
+    return {"params": params}
+
+
+def port_deep_cnn_segm_sigmoid(sd, n_prefilt_layers):
+    params = {
+        "trunk": {
+            "layernorm": {"ln": _harmonic_ln(sd, "layernorm")},
+            "conv1": {"conv": _conv(sd, "conv1.0")},
+        },
+        "head": _pitch_head(sd),
+    }
+    for p in range(n_prefilt_layers - 1):
+        params[f"prefilt{p}"] = {"conv": _conv(sd, f"prefilt_list.{p}.0")}
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# unet_cnns.py family
+# --------------------------------------------------------------------------
+
+def _unet_trunk(sd):
+    """layernorm + inc/down1..4 + upconv1..4 (all simple_u_net* models)."""
+    params = {"layernorm": {"ln": _harmonic_ln(sd, "layernorm")}}
+    stats = {}
+    params["inc"], stats["inc"] = _double_conv(sd, "inc")
+    for i in range(1, 5):
+        params[f"down{i}"], stats[f"down{i}"] = _double_conv(sd, f"down{i}.1")
+    for i in range(1, 5):
+        params[f"upconv{i}"], stats[f"upconv{i}"] = _double_conv(sd, f"upconv{i}")
+    return params, stats
+
+
+def port_simple_u_net(sd, attention_names=(), learnable_pe=(), lstm_names=(),
+                      polyphony=False):
+    """Generic porter for the simple_u_net family.
+
+    ``attention_names``: reference module names of transformer_enc_layers
+    (e.g. ('attention1', 'attention2')); ``learnable_pe`` lists which of them
+    carry a learnable positional encoding. ``lstm_names`` for BLSTM layers.
+    ``polyphony=True`` also ports the convP head.
+    """
+    params, stats = _unet_trunk(sd)
+    for name in attention_names:
+        params[name] = _transformer_enc(sd, name, learnable_pe=name in learnable_pe)
+    for name in lstm_names:
+        params[name] = {"blstm": _lstm(sd, f"{name}.blstm")}
+    params["head"] = _pitch_head(sd)
+    if polyphony:
+        params["convP1"] = _conv(sd, "convP.0")
+        params["convP2"] = _conv(sd, "convP.4")
+    return {"params": params, "batch_stats": stats}
