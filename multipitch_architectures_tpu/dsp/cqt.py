@@ -1,0 +1,231 @@
+"""Constant-Q transform for TPU.
+
+Algorithm (Schörkhuber & Klapuri; the same scheme librosa.cqt uses, which
+produced the features the reference models were trained on — reference:
+libdl/data_preprocessing/hcqt.py:66 calls ``librosa.cqt``):
+
+- build complex constant-Q kernels for the TOP octave only;
+- process octaves top-down, halving the sample rate (half-band FIR + 2:1
+  decimation) and the hop between octaves, reusing the same kernels;
+- frame each octave's signal (reflect-padded, centered) and apply the
+  kernel bank as ONE real matmul ``frames @ [Re(K) | Im(K)]`` — this is the
+  MXU-friendly formulation (no complex arithmetic, no FFT needed since the
+  kernel bank is small and dense);
+- magnitude = sqrt(re² + im²), scaled like librosa's ``scale=True``
+  convention: a unit-amplitude sinusoid at bin k peaks at ≈ sqrt(l_k)/2
+  where ``l_k = Q·fs/f_k`` is the (full-rate) filter length.
+
+All shape/plan computation is host-side numpy (:class:`CqtPlan`); the
+per-call compute path is pure jnp and jittable with static plan.
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _hann_periodic(n: int) -> np.ndarray:
+    """Periodic (fftbins=True) Hann window, as librosa's filter builder uses."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def cqt_q(bins_per_octave: int, filter_scale: float = 1.0) -> float:
+    return filter_scale / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+
+
+def _top_octave_kernels(fs: float, fmax_octave_low: float,
+                        bins_per_octave: int, filter_scale: float):
+    """Complex kernels for one octave [f_low, 2·f_low), centered in a
+    common power-of-two window. Returns (kernels (n_fft, bpo) complex128,
+    lengths (bpo,), n_fft)."""
+    q = cqt_q(bins_per_octave, filter_scale)
+    freqs = fmax_octave_low * 2.0 ** (np.arange(bins_per_octave) / bins_per_octave)
+    lengths = q * fs / freqs
+    n_fft = int(2 ** math.ceil(math.log2(lengths.max())))
+    kernels = np.zeros((n_fft, bins_per_octave), dtype=np.complex128)
+    for k, (f, l) in enumerate(zip(freqs, lengths)):
+        ilen = int(np.ceil(l))
+        win = _hann_periodic(ilen)
+        t = np.arange(-(ilen // 2), ilen - ilen // 2)
+        phi = win * np.exp(2j * np.pi * f * t / fs)
+        phi /= np.sum(np.abs(phi))        # L1 norm (librosa norm=1)
+        start = n_fft // 2 - ilen // 2
+        kernels[start:start + ilen, k] = phi
+    return kernels, lengths, n_fft
+
+
+@lru_cache(maxsize=None)
+def _halfband_taps(num_taps: int = 127, beta: float = 8.0) -> np.ndarray:
+    """Linear-phase half-band low-pass (cutoff 0.25·fs) for 2:1 decimation."""
+    from scipy.signal import firwin
+
+    return firwin(num_taps, 0.5, window=("kaiser", beta)).astype(np.float64)
+
+
+@dataclass(frozen=True)
+class CqtPlan:
+    """Static CQT configuration: kernels + geometry, hashable for jit."""
+
+    fs: float
+    hop: int
+    fmin: float
+    n_bins: int
+    bins_per_octave: int
+    filter_scale: float = 1.0
+    _data: tuple = field(default=None, repr=False, compare=False)
+
+    @staticmethod
+    def create(fs, hop, fmin, n_bins, bins_per_octave, filter_scale=1.0):
+        n_octaves = int(math.ceil(n_bins / bins_per_octave))
+        if hop % (2 ** (n_octaves - 1)) != 0:
+            raise ValueError(
+                f"hop ({hop}) must be divisible by 2^(n_octaves-1) "
+                f"(= {2 ** (n_octaves - 1)})")
+        # top octave's lowest frequency
+        f_low_top = fmin * 2.0 ** (n_octaves - 1)
+        if f_low_top * 2.0 > fs / 2.0 * 1.01:
+            raise ValueError("top octave exceeds Nyquist")
+        kernels, lengths, n_fft = _top_octave_kernels(
+            fs, f_low_top, bins_per_octave, filter_scale)
+        # real matmul kernel: (n_fft, 2*bpo) = [Re | -Im] (conjugate corr.)
+        kr = np.concatenate([kernels.real, -kernels.imag], axis=1)
+        taps = _halfband_taps()
+        data = (
+            np.asarray(kr, np.float32),
+            np.asarray(np.sqrt(lengths), np.float32),
+            n_fft,
+            n_octaves,
+            np.asarray(taps, np.float32),
+        )
+        return CqtPlan(fs, hop, fmin, n_bins, bins_per_octave, filter_scale,
+                       _data=tuple(map(_freeze, data)))
+
+
+def _freeze(x):
+    if isinstance(x, np.ndarray):
+        return _HashableArray(x)
+    return x
+
+
+class _HashableArray:
+    """numpy array wrapper hashable by identity (plans are cached/static)."""
+
+    def __init__(self, a):
+        self.a = a
+
+    def __hash__(self):
+        return id(self.a)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _reflect_pad(y, pad):
+    """Symmetric reflect pad that tolerates pad >= len(y) (repeated
+    reflection), unlike jnp.pad(mode='reflect')."""
+    while pad > 0:
+        p = min(pad, y.shape[0] - 1)
+        y = jnp.pad(y, (p, p), mode="reflect")
+        pad -= p
+    return y
+
+
+def _frame_matmul(y, kr, n_fft, hop, n_frames):
+    """Reflect-pad, frame (centered, stride=hop), and apply the kernel bank,
+    producing exactly ``n_frames`` frames (edge-padded if the decimated
+    signal ran one frame short). Implemented as a strided conv so XLA
+    lowers it onto the MXU.
+    """
+    pad = n_fft // 2
+    # ensure enough samples for n_frames strided windows
+    need = (n_frames - 1) * hop + n_fft
+    yp = _reflect_pad(y, pad)
+    if yp.shape[0] < need:
+        yp = jnp.pad(yp, (0, need - yp.shape[0]), mode="edge")
+    # conv formulation: out[t, c] = sum_m yp[t*hop + m] * kr[m, c]
+    lhs = yp[None, None, :]                      # (1, 1, L)
+    rhs = jnp.transpose(kr, (1, 0))[:, None, :]  # (2bpo, 1, n_fft)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[0]                                          # (2bpo, T)
+    return out[:, :n_frames].T                    # (T, 2bpo)
+
+
+def _decimate2(y, taps):
+    """Half-band filter + 2:1 decimation (linear phase, 'same' alignment)."""
+    pad = taps.shape[0] // 2
+    yp = _reflect_pad(y, pad)
+    out = jax.lax.conv_general_dilated(
+        yp[None, None, :], taps[None, None, ::-1], window_strides=(2,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+    return out[: (y.shape[0] + 1) // 2]
+
+
+def cqt(y, plan: CqtPlan):
+    """Magnitude CQT of ``y`` (1-D float array) → (n_bins, n_frames) f32.
+
+    ``n_frames = len(y) // hop + 1`` (librosa centered-stft convention,
+    matching the reference's frame-count expectation, hcqt.py:125).
+    """
+    kr, sqrt_lengths, n_fft, n_octaves, taps = [d.a if isinstance(d, _HashableArray) else d
+                                                for d in plan._data]
+    kr = jnp.asarray(kr)
+    sqrt_lengths = jnp.asarray(sqrt_lengths)
+    taps_j = jnp.asarray(taps)
+    bpo = plan.bins_per_octave
+
+    y = jnp.asarray(y, jnp.float32)
+    n_frames = y.shape[0] // plan.hop + 1
+    octaves = []
+    hop = plan.hop
+    cur = y
+    for k in range(n_octaves):
+        ri = _frame_matmul(cur, kr, n_fft, hop, n_frames)  # (T, 2bpo)
+        re, im = ri[:, :bpo], ri[:, bpo:]
+        mag = jnp.sqrt(re * re + im * im + 1e-30)
+        mag = mag * (sqrt_lengths * np.sqrt(2.0 ** k))   # full-rate length scale
+        octaves.append(mag)
+        if k + 1 < n_octaves:
+            cur = _decimate2(cur, taps_j)
+            hop //= 2
+    # stack: octave k covers bins [n_bins - (k+1)*bpo, n_bins - k*bpo)
+    out = jnp.concatenate([octaves[k] for k in range(n_octaves - 1, -1, -1)],
+                          axis=1)                         # (T, n_octaves*bpo)
+    out = out[:, -plan.n_bins:] if out.shape[1] != plan.n_bins else out
+    return out.T                                          # (n_bins, T)
+
+
+def cqt_direct_numpy(y, fs, hop, fmin, n_bins, bins_per_octave,
+                     filter_scale=1.0):
+    """Slow exact reference: direct time-domain correlation with full-rate
+    constant-Q kernels at every bin (the mathematical definition; float64).
+    Used by tests as the oracle for the fast multirate implementation."""
+    q = cqt_q(bins_per_octave, filter_scale)
+    y = np.asarray(y, np.float64)
+    n_frames = len(y) // hop + 1
+    out = np.zeros((n_bins, n_frames))
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    lengths = q * fs / freqs
+    max_len = int(np.ceil(lengths.max()))
+    pad = max_len // 2 + 1
+    yp = np.pad(y, (pad, pad), mode="reflect")
+    for k, (f, l) in enumerate(zip(freqs, lengths)):
+        ilen = int(np.ceil(l))
+        win = _hann_periodic(ilen)
+        t = np.arange(-(ilen // 2), ilen - ilen // 2)
+        phi = win * np.exp(2j * np.pi * f * t / fs)
+        phi /= np.sum(np.abs(phi))
+        for tt in range(n_frames):
+            center = tt * hop + pad
+            seg = yp[center - ilen // 2: center - ilen // 2 + ilen]
+            out[k, tt] = np.abs(np.vdot(phi, seg)) * np.sqrt(l)
+    return out

@@ -1,0 +1,159 @@
+"""Harmonic CQT feature frontend.
+
+Re-implements the reference's feature pipeline
+(libdl/data_preprocessing/hcqt.py) TPU-first:
+
+- ``compute_hopsize_cqt`` — identical arithmetic (hcqt.py:9-30).
+- ``compute_efficient_hcqt`` — the production variant both reference
+  notebooks use (hcqt.py:89-164): one extended CQT per power-of-two
+  "base harmonic" group, harmonics related by 2^k taken as octave-shifted
+  slices. Each underlying CQT is the jittable multirate matmul CQT.
+- ``compute_hcqt`` — the naive per-harmonic variant (hcqt.py:34-85).
+- ``hcqt`` — the TPU-native entry point: given audio (and an optional
+  precomputed tuning shift), returns the (n_bins, n_frames, n_harmonics)
+  magnitude tensor as a device array.
+
+Defaults reproduce the paper configuration: fs 22050, fmin C1, 60→36
+bins/octave configurable (the experiments use bins_per_semitone=3 → 36),
+5 harmonics + 1 subharmonic, target frame rate → hop 512, fs_hcqt 43.07 Hz.
+"""
+
+import math
+from functools import lru_cache
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .cqt import CqtPlan, cqt
+from .tuning import estimate_tuning
+
+C1_HZ = 32.70319566257483  # librosa.note_to_hz('C1')
+
+
+def compute_hopsize_cqt(fs_cqt_target, fs=22050, num_octaves=7):
+    """CQT hopsize approximating a target frame rate, constrained to a
+    multiple of 2^(num_octaves-1) (reference hcqt.py:9-30)."""
+    factor = 2 ** (num_octaves - 1)
+    hopsize_target = fs / fs_cqt_target
+    n = np.round(hopsize_target / factor)
+    hopsize_cqt = int(max(1, factor * n))
+    fs_cqt = fs / hopsize_cqt
+    return hopsize_cqt, fs_cqt
+
+
+def _centered_fmin(fmin, bins_per_octave, center_bins):
+    """Shift fmin down so bin centers align to MIDI pitches when using
+    multiple bins per semitone (reference hcqt.py:60-61, 119-120)."""
+    if not center_bins:
+        return fmin
+    bins_per_semitone = bins_per_octave // 12
+    return fmin / 2 ** ((bins_per_semitone - 1) / (2 * bins_per_octave))
+
+
+@lru_cache(maxsize=32)
+def _plan(fs, hop, fmin, n_bins, bins_per_octave):
+    return CqtPlan.create(fs, hop, fmin, n_bins, bins_per_octave)
+
+
+def _harmonic_layout(num_harmonics, num_subharmonics):
+    """Group (sub)harmonics by power-of-two base, like the reference's
+    base-harmonic search (hcqt.py:129-148): each harmonic h is assigned the
+    first base b (in list order, subharmonics first) with h/b = 2^k."""
+    harmonics = [1.0 / (n + 1) for n in range(num_subharmonics, 0, -1)]
+    harmonics += [float(n) for n in range(1, num_harmonics + 1)]
+    bases = []
+    assignment = []
+    for h in harmonics:
+        for b in bases:
+            r = math.log2(h / b)
+            if abs(r - round(r)) < 1e-9 and r >= 0:
+                assignment.append((b, int(round(r))))
+                break
+        else:
+            bases.append(h)
+            assignment.append((h, 0))
+    return harmonics, assignment
+
+
+def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
+                           bins_per_octave=60, num_octaves=6, num_harmonics=5,
+                           num_subharmonics=1, center_bins=True,
+                           tuning: Optional[float] = None):
+    """Efficient HCQT (reference hcqt.py:89-164): shared CQTs per base
+    harmonic, octave-shifted slices for 2^k-related harmonics.
+
+    Returns (f_hcqt (n_bins, n_frames, n_harm+n_sub) numpy f32, fs_hcqt,
+    hopsize). ``tuning`` overrides the estimated tuning offset (in
+    fractional bins); pass 0.0 to skip estimation.
+    """
+    f_audio = np.asarray(f_audio, np.float32)
+    num_octaves_eff = num_octaves + int(
+        np.ceil(np.log2(num_subharmonics + 1) + np.log2(num_harmonics)))
+    hopsize_cqt, _ = compute_hopsize_cqt(fs_hcqt_target, fs=fs,
+                                         num_octaves=num_octaves_eff)
+    fs_hcqt = fs / hopsize_cqt
+    assert bins_per_octave % 12 == 0, "bins_per_octave must be multiple of 12"
+    fmin = _centered_fmin(fmin, bins_per_octave, center_bins)
+    if tuning is None:
+        tuning = estimate_tuning(f_audio, fs=fs,
+                                 bins_per_octave=bins_per_octave)
+    fmin_tuned = fmin * 2 ** (tuning / bins_per_octave)
+
+    n_frames = int(np.floor(f_audio.shape[0] / hopsize_cqt)) + 1
+    n_bins = bins_per_octave * num_octaves
+    harmonics, assignment = _harmonic_layout(num_harmonics, num_subharmonics)
+    out = np.zeros((n_bins, n_frames, len(harmonics)), np.float32)
+
+    # one CQT per base, spanning enough octaves for its highest harmonic
+    bases = sorted({b for b, _ in assignment})
+    for base in bases:
+        max_shift = max(s for b, s in assignment if b == base)
+        num_oct_curr = num_octaves + max_shift
+        plan = _plan(float(fs), int(hopsize_cqt),
+                     float(fmin_tuned * base),
+                     int(num_oct_curr * bins_per_octave),
+                     int(bins_per_octave))
+        f_cqt = np.asarray(cqt(f_audio, plan))            # (bins, T)
+        for idx, (b, shift) in enumerate(assignment):
+            if b != base:
+                continue
+            lo = shift * bins_per_octave
+            out[:, :, idx] = f_cqt[lo:lo + n_bins, :n_frames]
+    return out, fs_hcqt, hopsize_cqt
+
+
+def compute_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
+                 bins_per_octave=60, num_octaves=6, num_harmonics=5,
+                 num_subharmonics=1, center_bins=True,
+                 tuning: Optional[float] = None):
+    """Naive HCQT: one full CQT per (sub)harmonic (reference hcqt.py:34-85)."""
+    f_audio = np.asarray(f_audio, np.float32)
+    hopsize_cqt, _ = compute_hopsize_cqt(fs_hcqt_target, fs=fs,
+                                         num_octaves=num_octaves)
+    fs_hcqt = fs / hopsize_cqt
+    assert bins_per_octave % 12 == 0
+    fmin = _centered_fmin(fmin, bins_per_octave, center_bins)
+    if tuning is None:
+        tuning = estimate_tuning(f_audio, fs=fs,
+                                 bins_per_octave=bins_per_octave)
+    fmin_tuned = fmin * 2 ** (tuning / bins_per_octave)
+
+    n_bins = num_octaves * bins_per_octave
+    harmonics = [1.0 / (n + 1) for n in range(num_subharmonics, 0, -1)]
+    harmonics += [float(n) for n in range(1, num_harmonics + 1)]
+    mags = []
+    for h in harmonics:
+        plan = _plan(float(fs), int(hopsize_cqt), float(fmin_tuned * h),
+                     int(n_bins), int(bins_per_octave))
+        mags.append(np.asarray(cqt(f_audio, plan)))
+    n_frames = min(m.shape[1] for m in mags)
+    out = np.stack([m[:, :n_frames] for m in mags], axis=-1).astype(np.float32)
+    return out, fs_hcqt, hopsize_cqt
+
+
+def hcqt(f_audio, **kwargs):
+    """Device-array convenience wrapper over :func:`compute_efficient_hcqt`,
+    returning the HCQT transposed to the model layout ``(n_harm, T, F)``."""
+    f, fs_hcqt, hop = compute_efficient_hcqt(f_audio, **kwargs)
+    return jnp.asarray(np.transpose(f, (2, 1, 0))), fs_hcqt, hop

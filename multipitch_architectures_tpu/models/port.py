@@ -213,3 +213,84 @@ def port_simple_u_net(sd, attention_names=(), learnable_pe=(), lstm_names=(),
         params["convP1"] = _conv(sd, "convP.0")
         params["convP2"] = _conv(sd, "convP.4")
     return {"params": params, "batch_stats": stats}
+
+
+def _attn_names_in(sd):
+    """All transformer_enc_layer module names present in a state dict
+    (keys look like '<name>.q_linear.weight')."""
+    return sorted({k.split(".")[0] for k in sd
+                   if k.endswith(".q_linear.weight")})
+
+
+def _lstm_names_in(sd):
+    return sorted({k.split(".")[0] for k in sd if ".blstm.weight_ih_l0" in k})
+
+
+def port_unet_auto(sd, polyphony=None, learnable_pe=()):
+    """Port any simple_u_net / u_net_*_varlayers state dict by discovering
+    which attention/LSTM modules it contains. ``polyphony`` default:
+    auto-detect from the presence of convP keys."""
+    if polyphony is None:
+        polyphony = "convP.0.weight" in sd
+    return port_simple_u_net(
+        sd,
+        attention_names=[n for n in _attn_names_in(sd)
+                         if n.startswith("attention")],
+        learnable_pe=learnable_pe,
+        lstm_names=_lstm_names_in(sd),
+        polyphony=polyphony,
+    )
+
+
+def port_unet_transenc(sd, learnable_pe=()):
+    """Port ``simple_u_net_doubleselfattn_transenc`` (unet_cnns.py:1370-1526):
+    varlayers-style trunk + conv2 + two temporal attention layers + 1x1
+    reduction head."""
+    params, stats = _unet_trunk(sd)
+    for name in _attn_names_in(sd):
+        if name.startswith("attention"):
+            params[name] = _transformer_enc(sd, name,
+                                            learnable_pe=name in learnable_pe)
+    params["conv2"] = {"conv": _conv(sd, "conv2.0")}
+    params["reduction"] = _conv(sd, "reduction.0")
+    return {"params": params, "batch_stats": stats}
+
+
+def _bn_conv_selu(sd, p):
+    """torch Sequential(BatchNorm2d, Conv2d, SELU) -> _BNConvSELU params."""
+    bn_params, bn_stats = _bn(sd, f"{p}.0")
+    return ({"bn": bn_params, "conv": _conv(sd, f"{p}.1")}, {"bn": bn_stats})
+
+
+def _freq_attn_block(sd, suffix="", ln_ids=(5, 6)):
+    """Inline attention block of freq_u_net_*selfattn (unet_cnns.py:1730-1746).
+    torch names: q/k/v/o_linear{suffix}, attn{suffix}, layernorm{i}/{j},
+    mlp{j} (a Sequential with Linears at .0 and .2)."""
+    i, j = ln_ids
+    return {
+        f"q_linear{suffix}": _dense(sd, f"q_linear{suffix}", bias=False),
+        f"k_linear{suffix}": _dense(sd, f"k_linear{suffix}", bias=False),
+        f"v_linear{suffix}": _dense(sd, f"v_linear{suffix}", bias=False),
+        f"o_linear{suffix}": _dense(sd, f"o_linear{suffix}", bias=False),
+        f"attn{suffix}": _mha(sd, f"attn{suffix}"),
+        f"layernorm{i}": _ln(sd, f"layernorm{i}"),
+        f"mlp{j}_1": _dense(sd, f"mlp{j}.0"),
+        f"mlp{j}_2": _dense(sd, f"mlp{j}.2"),
+        f"layernorm{j}": _ln(sd, f"layernorm{j}"),
+    }
+
+
+def port_freq_u_net_selfattn(sd, double=False):
+    """Port ``freq_u_net_selfattn`` / ``freq_u_net_doubleselfattn``
+    (unet_cnns.py:1691-1970). Heads are conv4/conv5/conv6 in torch."""
+    params = {"layernorm": {"ln": _harmonic_ln(sd, "layernorm")}}
+    stats = {}
+    params["conv1"] = {"conv": _conv(sd, "conv1.0")}
+    for name in ("conv2", "conv3", "up_conv3", "up_conv2", "up_conv1"):
+        params[name], stats[name] = _bn_conv_selu(sd, name)
+    params["attnblock1"] = _freq_attn_block(sd)
+    if double:
+        params["attnblock2"] = _freq_attn_block(sd, suffix="2", ln_ids=(7, 8))
+    params["head"] = _pitch_head(sd, conv2="conv4.0", conv3="conv5.0",
+                                 conv4="conv6.0", conv5="conv6.3")
+    return {"params": params, "batch_stats": stats}

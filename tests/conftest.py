@@ -1,22 +1,54 @@
 """Test configuration: force JAX onto a simulated 8-device CPU platform so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+NB: this image's sitecustomize registers the 'axon' TPU-tunnel backend and
+forces ``jax_platforms=axon,cpu`` regardless of JAX_PLATFORMS in the
+environment, so we must override via ``jax.config`` *after* import (but
+before any backend initialization)."""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 REFERENCE_ROOT = "/root/reference"
+
+
+class patched_torch_cpu:
+    """Context manager stripping the reference's hard-coded ``device="cuda:0"``
+    (libdl/nn_models/unet_cnns.py:121,128,176,183) so its models build on CPU."""
+
+    def __enter__(self):
+        import torch
+
+        self._orig = torch.zeros
+
+        def cpu_zeros(*a, **k):
+            k.pop("device", None)
+            return self._orig(*a, **k)
+
+        torch.zeros = cpu_zeros
+        return self
+
+    def __exit__(self, *exc):
+        import torch
+
+        torch.zeros = self._orig
+        return False
 
 
 def reference_models():

@@ -1,0 +1,144 @@
+"""Tests for the DSP frontend: CQT vs direct-DFT oracle, HCQT structure,
+hopsize arithmetic, tuning estimation, annotation rasterization."""
+
+import numpy as np
+import pytest
+
+from multipitch_architectures_tpu.dsp import (
+    CqtPlan,
+    compute_annotation_array,
+    compute_annotation_array_nooverlap,
+    compute_efficient_hcqt,
+    compute_hopsize_cqt,
+    cqt,
+    cqt_direct_numpy,
+    estimate_tuning,
+)
+
+FS = 22050
+FMIN = 32.70319566257483  # C1
+C4 = 261.6255653005986
+
+
+def chord(dur=4.0, detune_bins=0.0, bins_per_octave=36):
+    t = np.arange(int(dur * FS)) / FS
+    shift = 2.0 ** (detune_bins / bins_per_octave)
+    y = (np.sin(2 * np.pi * C4 * shift * t)
+         + 0.5 * np.sin(2 * np.pi * 329.6276 * shift * t)
+         + 0.25 * np.sin(2 * np.pi * 440.0 * shift * t))
+    return y.astype(np.float32)
+
+
+def test_hopsize_cqt_matches_reference_defaults():
+    """fs 22050, target 50 Hz, 10 effective octaves → hop 512, 43.066 Hz
+    (SURVEY.md §0; reference hcqt.py:9-30)."""
+    hop, fs_cqt = compute_hopsize_cqt(50, fs=22050, num_octaves=10)
+    assert hop == 512
+    assert abs(fs_cqt - 43.06640625) < 1e-9
+
+
+def test_cqt_peak_bin_and_magnitude():
+    """A unit sinusoid at C4 peaks at bin 108 (36 bpo from C1) with
+    magnitude sqrt(l)/2 (librosa scale=True convention)."""
+    plan = CqtPlan.create(FS, 512, FMIN, 216, 36)
+    x = np.asarray(cqt(chord(), plan))
+    assert x.shape == (216, 4 * FS // 512 + 1)
+    col = x[:, x.shape[1] // 2]
+    assert col.argmax() == 108
+    q = 1.0 / (2 ** (1 / 36) - 1)
+    expected = np.sqrt(q * FS / C4) / 2
+    assert abs(col.max() - expected) / expected < 1e-3
+
+
+def test_cqt_matches_direct_oracle():
+    """Multirate fast CQT vs exact full-rate direct correlation: ≤1e-3
+    relative to peak (the gap is the inherent multirate approximation,
+    the same one librosa's recursive-downsampling cqt makes)."""
+    y = chord()
+    plan = CqtPlan.create(FS, 512, FMIN, 216, 36)
+    x = np.asarray(cqt(y, plan))
+    xd = cqt_direct_numpy(y, FS, 512, FMIN, 216, 36)
+    interior = np.s_[:, 20:-20]
+    rel = np.abs(x[interior] - xd[interior]).max() / xd.max()
+    assert rel < 1e-3
+
+
+def test_efficient_hcqt_structure():
+    """(n_bins, n_frames, 6) output; fundamental channel peaks at the
+    note bins; harmonic channel h sees the h-th partial at the f0 bin."""
+    # a tone rich in harmonics: saw-ish sum of 5 partials at C4
+    t = np.arange(4 * FS) / FS
+    y = sum((1.0 / h) * np.sin(2 * np.pi * C4 * h * t) for h in range(1, 6))
+    f, fs_hcqt, hop = compute_efficient_hcqt(
+        y.astype(np.float32), fs=FS, fs_hcqt_target=50, bins_per_octave=36,
+        num_octaves=6, num_harmonics=5, num_subharmonics=1, tuning=0.0)
+    assert hop == 512
+    assert abs(fs_hcqt - 43.06640625) < 1e-9
+    assert f.shape[0] == 216 and f.shape[2] == 6
+    mid = f.shape[1] // 2
+    # channel 1 = fundamental CQT: C4 peaks at bin 109 (center of its 3-bin
+    # semitone group when center_bins shifts fmin down 1/3 bin)
+    assert f[:, mid, 1].argmax() == 109
+    # channel 2 = harmonic 2 (fmin doubled): the dominant fundamental
+    # appears one octave DOWN (its 2nd partial aligns at the f0 bin)
+    assert abs(int(f[:, mid, 2].argmax()) - 73) <= 1
+    # channel 0 = subharmonic 0.5: C4 content appears an octave UP (+36)
+    assert abs(int(f[:, mid, 0].argmax()) - 145) <= 1
+
+
+def test_efficient_hcqt_channels_consistent_with_octave_slicing():
+    """Harmonics 1,2,4 share one base CQT: channel 2 equals channel 1
+    shifted by exactly one octave (36 bins) up to float noise."""
+    y = chord()
+    f, _, _ = compute_efficient_hcqt(
+        y, fs=FS, fs_hcqt_target=50, bins_per_octave=36, num_octaves=6,
+        tuning=0.0)
+    np.testing.assert_allclose(f[36:, :, 1], f[:-36, :, 2], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_tuning_estimation_detects_detune():
+    """Tuning folds to ±0.5 bin (librosa semantics), so only detunes inside
+    that window are identifiable."""
+    for detune in (-0.4, 0.0, 0.3):  # fractional 36ths-of-octave bins
+        y = chord(detune_bins=detune, bins_per_octave=36)
+        est = estimate_tuning(y, fs=FS, bins_per_octave=36)
+        # STFT-peak parabolic interpolation carries ~0.1-bin bias at this
+        # resolution (librosa's estimator has the same property)
+        assert abs(est - detune) < 0.15, (detune, est)
+
+
+def test_annotation_nooverlap_basic():
+    fs_a = 43.06640625
+    events = np.array([
+        [0.0, 0.5, 60.0],
+        [0.5, 1.0, 60.0],   # adjacent repeat — must stay separated
+        [1.2, 1.21, 72.0],  # vanishing event — must be repaired to ≥1 frame
+    ])
+    out = compute_annotation_array_nooverlap(events, 100, fs_a, "pitch")
+    assert out.shape == (128, 100)
+    # note 1 spans frames [0, floor(0.5*fs)) = [0, 21)
+    assert out[60, 0] == 1 and out[60, 20] == 1
+    assert out[60, 21] == 1  # second event starts at 21
+    assert out[60, 43] == 0  # ends at floor(1.0*fs)=43 (exclusive)
+    assert out[72].sum() >= 1  # vanishing event repaired
+
+
+def test_annotation_nooverlap_pitch_class_and_shorten():
+    fs_a = 43.06640625
+    events = np.array([[0.0, 1.0, 61.0]])
+    out = compute_annotation_array_nooverlap(events, 50, fs_a, "pitch_class")
+    assert out.shape == (12, 50)
+    assert out[1].sum() > 0  # 61 mod 12
+    out2 = compute_annotation_array_nooverlap(events, 50, fs_a, "pitch",
+                                              shorten=0.5)
+    assert out2[61].sum() == pytest.approx(np.floor(0.5 * fs_a), abs=1)
+
+
+def test_annotation_overlap_variant_returns():
+    """The reference's compute_annotation_array forgets its return
+    (hcqt.py:202); ours must actually return the roll."""
+    fs_a = 43.06640625
+    events = np.array([[0.1, 0.9, 65.0]])
+    out = compute_annotation_array(events, 50, fs_a, "pitch")
+    assert out is not None and out[65].sum() > 0
