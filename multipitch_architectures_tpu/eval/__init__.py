@@ -1,0 +1,22 @@
+"""Evaluation: framewise multipitch measures, mir_eval-compatible MPE
+metrics, and whole-recording batched inference."""
+
+from .measures import (
+    calculate_single_measure,
+    calculate_eval_measures,
+    compute_eval_measures,
+    normalize_feature_sequence,
+)
+from .mireval import calculate_mpe_measures_mireval, midi_to_hz
+from .inference import predict_framewise, predict_dense
+
+__all__ = [
+    "calculate_single_measure",
+    "calculate_eval_measures",
+    "compute_eval_measures",
+    "normalize_feature_sequence",
+    "calculate_mpe_measures_mireval",
+    "midi_to_hz",
+    "predict_framewise",
+    "predict_dense",
+]

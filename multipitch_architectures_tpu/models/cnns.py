@@ -8,8 +8,11 @@ as the torch models take) and outputs are NCHW as well, e.g.
 
 Because every op is stride-1 in time, the "segm" models are fully
 convolutional in time: feeding a whole padded recording yields all framewise
-predictions in ONE pass (the TPU-native replacement for the reference's
-stride-1 sliding-window DataLoader loop, exp180d...py:427-443).
+predictions in ONE pass (~75x fewer FLOPs than the reference's stride-1
+sliding-window DataLoader loop, exp180d...py:427-443). NB the dense pass
+sees true neighboring frames where the windowed protocol zero-pads each
+window's time edges, so it is a fast mode, not a bit-parity mode — see
+eval/inference.py.
 """
 
 from typing import Sequence

@@ -1,0 +1,172 @@
+"""Tests for the evaluation stack: measures vs hand-computed/sklearn
+oracles, mir_eval-compatible MPE metrics, framewise-vs-dense inference
+equivalence on the CNN family."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multipitch_architectures_tpu.eval import (
+    calculate_eval_measures,
+    calculate_mpe_measures_mireval,
+    calculate_single_measure,
+    compute_eval_measures,
+    midi_to_hz,
+    normalize_feature_sequence,
+    predict_dense,
+    predict_framewise,
+)
+from multipitch_architectures_tpu.models import BasicCnnSegmSigmoid
+
+
+def test_compute_eval_measures_counts():
+    ref = np.array([[1, 0, 1], [0, 1, 0]])
+    est = np.array([[1, 1, 0], [0, 1, 0]])
+    p, r, f, tp, fp, fn = compute_eval_measures(ref, est)
+    assert (tp, fp, fn) == (2, 1, 1)
+    assert p == pytest.approx(2 / 3)
+    assert r == pytest.approx(2 / 3)
+    assert f == pytest.approx(2 / 3)
+
+
+def test_compute_eval_measures_zero_tp():
+    p, r, f, tp, fp, fn = compute_eval_measures(np.eye(3), 1 - np.eye(3))
+    assert (p, r, f) == (0, 0, 0)
+
+
+def test_measures_against_manual():
+    rng = np.random.RandomState(0)
+    targ = (rng.rand(50, 72) > 0.9).astype(float)
+    pred = np.clip(targ * 0.8 + rng.rand(50, 72) * 0.3, 0, 1)
+    m = calculate_eval_measures(
+        targ, pred,
+        ["precision", "recall", "f_measure", "cosine_sim",
+         "binary_crossentropy", "euclidean_distance", "binary_accuracy",
+         "soft_accuracy", "accum_energy", "roc_auc_measure",
+         "average_precision_score"],
+        threshold=0.4)
+    # manual recomputation of a few
+    pt = pred >= 0.4
+    tp = np.logical_and(targ, pt).sum()
+    assert m["precision"] == pytest.approx(tp / pt.sum())
+    assert m["recall"] == pytest.approx(tp / targ.sum())
+    eps = np.finfo(float).eps
+    bce = -np.mean(targ * np.log2(pred + eps)
+                   + (1 - targ) * np.log2(1 - pred + eps))
+    assert m["binary_crossentropy"] == pytest.approx(bce)  # log2 quirk
+    assert 0.5 < m["roc_auc_measure"] <= 1.0
+    assert 0 < m["average_precision_score"] <= 1.0
+    assert m["soft_accuracy"] == pytest.approx(
+        np.mean(targ * pred + (1 - targ) * (1 - pred)))
+
+
+def test_cosine_sim_zero_frame_unit_vector():
+    """All-zero frames become unit vectors (threshold 1e-10) so two empty
+    frames have similarity 1 — the reference's libfmp behavior."""
+    targ = np.zeros((4, 12))
+    pred = np.zeros((4, 12))
+    assert calculate_single_measure(targ, pred, "cosine_sim") == \
+        pytest.approx(1.0)
+
+
+def test_normalize_feature_sequence():
+    x = np.array([[3.0, 0.0], [4.0, 0.0]])
+    out = normalize_feature_sequence(x, threshold=1e-10)
+    np.testing.assert_allclose(out[:, 0], [0.6, 0.8])
+    np.testing.assert_allclose(out[:, 1], [1 / np.sqrt(2)] * 2)
+
+
+def test_midi_to_hz():
+    assert midi_to_hz(69) == pytest.approx(440.0)
+    assert midi_to_hz(60) == pytest.approx(261.6255653, rel=1e-9)
+
+
+def test_mireval_perfect_prediction():
+    targ = (np.random.RandomState(1).rand(30, 72) > 0.85).astype(float)
+    m = calculate_mpe_measures_mireval(targ, targ, threshold=0.5)
+    assert m["Precision"] == 1.0 and m["Recall"] == 1.0
+    assert m["Accuracy"] == 1.0 and m["Total Error"] == 0.0
+    assert m["Chroma Precision"] == 1.0 and m["Chroma Total Error"] == 0.0
+
+
+def test_mireval_counts_hand_example():
+    # frame 0: ref {24, 36}, est {24, 40}  → TP 1, sub 1
+    # frame 1: ref {30},     est {}        → miss 1
+    # frame 2: ref {},       est {50, 51}  → fa 2
+    targ = np.zeros((3, 72))
+    est = np.zeros((3, 72))
+    targ[0, [0, 12]] = 1
+    est[0, [0, 16]] = 1
+    targ[1, 6] = 1
+    est[2, [26, 27]] = 1
+    m = calculate_mpe_measures_mireval(targ, est, threshold=0.5, min_pitch=24)
+    assert m["Precision"] == pytest.approx(1 / 4)
+    assert m["Recall"] == pytest.approx(1 / 3)
+    assert m["Accuracy"] == pytest.approx(1 / 6)  # TP/(TP+FP+FN)=1/(1+3+2)
+    assert m["Substitution Error"] == pytest.approx(1 / 3)
+    assert m["Miss Error"] == pytest.approx(1 / 3)
+    assert m["False Alarm Error"] == pytest.approx(2 / 3)
+    assert m["Total Error"] == pytest.approx(4 / 3)
+    # chroma: frame0 ref pcs {0, 0}={0:2}, est {0:1, 4:1} → TP 1
+    assert m["Chroma Recall"] == pytest.approx(1 / 3)
+
+
+def test_mireval_chroma_octave_fold():
+    """Octave errors are forgiven in the chroma measures."""
+    targ = np.zeros((1, 72))
+    est = np.zeros((1, 72))
+    targ[0, 0] = 1    # MIDI 24 (C)
+    est[0, 12] = 1    # MIDI 36 (C, one octave up)
+    m = calculate_mpe_measures_mireval(targ, est, min_pitch=24)
+    assert m["Precision"] == 0.0
+    assert m["Chroma Precision"] == 1.0 and m["Chroma Recall"] == 1.0
+
+
+def test_framewise_matches_reference_protocol():
+    """predict_framewise must reproduce the reference's per-window loop
+    (pad ±(37,38), stride-1 dataset_context slices) exactly."""
+    rng = np.random.RandomState(0)
+    inputs = rng.rand(6, 90, 216).astype(np.float32)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2), n_bins_out=72)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 6, 75, 216)), train=False)
+
+    def apply_fn(variables, x):
+        return model.apply(variables, x, train=False)
+
+    yw = predict_framewise(apply_fn, v, inputs, batch_size=50)
+
+    # manual reference protocol (exp180d...py:427-443)
+    half = 75 // 2
+    x = np.log1p(10.0 * inputs)
+    xp = np.pad(x, ((0, 0), (half, half + 1), (0, 0)))
+    wins = np.stack([xp[:, i:i + 75, :] for i in range(90)])
+    want = np.asarray(model.apply(v, jnp.asarray(wins), train=False)
+                      ).reshape(90, 72)
+    np.testing.assert_allclose(yw, want, atol=2e-6)
+
+
+def test_dense_close_to_windowed_for_cnn():
+    """predict_dense sees real context where the windowed protocol
+    zero-pads, so outputs differ slightly — but must stay strongly
+    correlated (it's the documented fast mode, not a parity mode)."""
+    rng = np.random.RandomState(0)
+    inputs = rng.rand(6, 160, 216).astype(np.float32)
+    # temporally smooth input (like real HCQT); random-noise input with a
+    # random-init model is the worst case for the padding difference
+    kernel = np.ones(9) / 9
+    inputs = np.apply_along_axis(
+        lambda a: np.convolve(a, kernel, mode="same"), 1, inputs)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2), n_bins_out=72)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 6, 75, 216)), train=False)
+
+    def apply_fn(variables, x):
+        return model.apply(variables, x, train=False)
+
+    yw = predict_framewise(apply_fn, v, inputs, batch_size=50)
+    yd = predict_dense(apply_fn, v, inputs)
+    assert yd.shape == yw.shape == (160, 72)
+    corr = np.corrcoef(yw.flatten(), yd.flatten())[0, 1]
+    assert corr > 0.95, corr

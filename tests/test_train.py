@@ -1,0 +1,187 @@
+"""Tests for the training stack: early stopping + scheduler semantics vs
+the torch/reference oracles, loss parity vs torch criteria, and a short
+end-to-end fit on the 8-device CPU mesh."""
+
+import logging
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multipitch_architectures_tpu.data import (AugmentConfig, FileSpec,
+                                               TrainPipeline)
+from multipitch_architectures_tpu.models import (BasicCnnSegmSigmoid,
+                                                 SimpleUNetPolyphonyClassifSoftmax)
+from multipitch_architectures_tpu.train import (EarlyStopping,
+                                                ReduceLROnPlateau,
+                                                NoamSchedule, TrainConfig,
+                                                Trainer, bce_loss,
+                                                multitask_bce_ce_loss,
+                                                polynomial_decay_lambda)
+
+from conftest import REFERENCE_ROOT
+import sys
+
+
+def test_early_stopping_matches_reference():
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        # import the monitoring module directly: the libdl.metrics package
+        # __init__ pulls in librosa/mir_eval, absent from this image
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_monitoring", f"{REFERENCE_ROOT}/libdl/metrics/monitoring.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ref_es = mod.early_stopping
+    except Exception:
+        pytest.skip("reference unavailable")
+    seq = [1.0, 0.9, 0.95, 0.91, 0.89, 0.94, 0.93, 0.92, 0.95, 0.96, 0.97,
+           0.98]
+    for patience in (2, 3, 5):
+        ours = EarlyStopping("min", 1e-3, patience)
+        ref = ref_es("min", 1e-3, patience)
+        for v in seq:
+            o = ours.step(v)
+            r = ref.step(v)
+            assert o == r, (patience, v)
+            if o:
+                break
+            assert ours.curr_is_better(v) == ref.curr_is_better(v)
+
+
+def test_early_stopping_nan_stops():
+    es = EarlyStopping("min", 0, 5)
+    assert not es.step(1.0)
+    assert es.step(float("nan"))
+
+
+def test_reduce_lr_on_plateau_matches_torch():
+    import torch
+
+    lin = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(lin.parameters(), lr=1e-3)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=5, threshold=1e-4,
+        threshold_mode="rel", cooldown=0, min_lr=1e-6, eps=1e-8)
+    ours = ReduceLROnPlateau(1e-3, factor=0.5, patience=5, threshold=1e-4,
+                             min_lr=1e-6)
+    rng = np.random.RandomState(0)
+    metric = 1.0
+    for step in range(40):
+        metric = metric * (0.99 if step < 10 else 1.001) \
+            + rng.rand() * 1e-6
+        tsched.step(metric)
+        lr_ours = ours.step(metric)
+        lr_torch = opt.param_groups[0]["lr"]
+        assert lr_ours == pytest.approx(lr_torch, rel=1e-12), step
+
+
+def test_polynomial_decay_lambda():
+    f = polynomial_decay_lambda(1.0, 1e-2, 20, 0.5)
+    assert f(0) == pytest.approx(1.0)
+    assert f(20) == pytest.approx(1e-2)
+    assert f(100) == pytest.approx(1e-2)
+    assert f(10) == pytest.approx((1 - 1e-2) * (0.5) ** 0.5 + 1e-2)
+
+
+def test_noam_rate():
+    s = NoamSchedule(512, 4000)
+    assert s.rate(1) == pytest.approx(512 ** -0.5 * 4000 ** -1.5)
+    assert s.rate(4000) == pytest.approx(512 ** -0.5 * 4000 ** -0.5)
+
+
+def test_bce_loss_matches_torch():
+    import torch
+
+    rng = np.random.RandomState(0)
+    p = rng.rand(8, 1, 1, 72).astype(np.float32)
+    t = (rng.rand(8, 1, 1, 72) > 0.9).astype(np.float32)
+    want = torch.nn.BCELoss()(torch.from_numpy(p), torch.from_numpy(t))
+    got = bce_loss(jnp.asarray(p), jnp.asarray(t))
+    assert float(got) == pytest.approx(float(want), rel=1e-6)
+
+
+def test_multitask_loss_matches_torch():
+    import torch
+
+    rng = np.random.RandomState(0)
+    y_pred = rng.rand(8, 1, 1, 72).astype(np.float32)
+    y_true = (rng.rand(8, 1, 1, 72) > 0.9).astype(np.float32)
+    n_pred = rng.randn(8, 24, 1, 1).astype(np.float32)
+
+    n_target = torch.sum(torch.from_numpy(y_true), dim=-1,
+                         keepdims=True).long().squeeze(3)
+    want = (torch.nn.BCELoss()(torch.from_numpy(y_pred),
+                               torch.from_numpy(y_true))
+            + torch.nn.CrossEntropyLoss()(torch.from_numpy(n_pred),
+                                          n_target) / 25.0)
+    got = multitask_bce_ce_loss((jnp.asarray(y_pred), jnp.asarray(n_pred)),
+                                jnp.asarray(y_true))
+    assert float(got) == pytest.approx(float(want), rel=1e-5)
+
+
+def _toy_pipelines(seed=0, t=900):
+    rng = np.random.RandomState(seed)
+    files = [FileSpec(rng.rand(6, t, 216).astype(np.float32),
+                      (rng.rand(t, 120) > 0.9).astype(np.float32))]
+    aug = AugmentConfig(noisestd=1e-4, compression=10.0)
+    train_p = TrainPipeline(files, stride=50, augment=aug,
+                            target_slice=(24, 96))
+    val_p = TrainPipeline(files, stride=120, target_slice=(24, 96))
+    return train_p, val_p
+
+
+def test_trainer_reduces_loss_and_checkpoints(tmp_path):
+    train_p, val_p = _toy_pipelines()
+    model = BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2), n_bins_out=72)
+    cfg = TrainConfig(max_epochs=3, batch_size=5, loss="bce", seed=0)
+    tr = Trainer(model, cfg, logger=logging.getLogger("test"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    state, hist = tr.fit(
+        lambda epoch, key: train_p.batches(key, 5),
+        lambda epoch, key: val_p.batches(key, 5, shuffle=False),
+        state=state, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert hist["val_loss"][-1] < hist["val_loss"][0]
+
+    # restore roundtrip (full state incl. optimizer)
+    from multipitch_architectures_tpu.train.trainer import _Checkpointer
+
+    fresh = tr.init(jnp.zeros((1, 6, 75, 216)))
+    restored, epoch = _Checkpointer(str(tmp_path / "ckpt")).restore(fresh)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert epoch == 2
+
+
+def test_trainer_multitask_punet():
+    train_p, val_p = _toy_pipelines(t=600)
+    model = SimpleUNetPolyphonyClassifSoftmax(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        num_polyphony_steps=24)
+    cfg = TrainConfig(max_epochs=1, batch_size=5, loss="multitask", seed=0)
+    tr = Trainer(model, cfg, logger=logging.getLogger("test"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    state, hist = tr.fit(lambda e, k: train_p.batches(k, 5),
+                         lambda e, k: val_p.batches(k, 5, shuffle=False),
+                         state=state)
+    assert np.isfinite(hist["train_loss"][0])
+
+
+def test_trainer_early_stops_on_plateau():
+    train_p, val_p = _toy_pipelines(t=600)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    cfg = TrainConfig(max_epochs=50, batch_size=5, loss="bce",
+                      initial_lr=0.0,  # loss cannot improve
+                      es_patience=2, es_min_delta=1e-5)
+    tr = Trainer(model, cfg, logger=logging.getLogger("test"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    state, hist = tr.fit(lambda e, k: train_p.batches(k, 5),
+                         lambda e, k: val_p.batches(k, 5, shuffle=False),
+                         state=state)
+    assert len(hist["train_loss"]) <= 5  # stopped long before 50
