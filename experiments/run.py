@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Run any of the reference's 111 experiments by name.
+
+Examples:
+    # list experiments
+    python experiments/run.py --list
+    # smoke-run the flagship SAUnet:L experiment on synthetic data (CPU ok)
+    python experiments/run.py \
+        --config exp180d_musicnet_unet_extremelylarge_doubleselfattn \
+        --smoke
+    # full run on precomputed features
+    python experiments/run.py --config exp126a_musicnet_cnn_basic \
+        --data-dir /data/MusicNet/hcqt --annot-dir /data/MusicNet/pitch \
+        --out-dir runs/
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="experiment name from the registry")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--data-dir")
+    ap.add_argument("--annot-dir")
+    ap.add_argument("--out-dir", default="runs")
+    ap.add_argument("--smoke", action="store_true",
+                    help="synthetic data + 1 epoch + shrunken model")
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--fix-val-split", action="store_true",
+                    help="repair the reference's merged val prefixes")
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cpu or args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from multipitch_architectures_tpu.experiments import (
+        NpyCorpus, SyntheticCorpus, available_experiments, load_experiment,
+        run_experiment)
+
+    if args.list:
+        for name in available_experiments():
+            print(name)
+        return
+
+    cfg = load_experiment(args.config, fix_val_split=args.fix_val_split)
+    if args.smoke:
+        cfg = _shrink_for_smoke(cfg)
+        corpus = SyntheticCorpus(cfg, frames=300)
+        epochs = args.epochs or 1
+    else:
+        assert args.data_dir and args.annot_dir, \
+            "--data-dir/--annot-dir required without --smoke"
+        corpus = NpyCorpus(args.data_dir, args.annot_dir)
+        epochs = args.epochs
+
+    results = run_experiment(cfg, corpus, args.out_dir,
+                             max_epochs_override=epochs)
+    if results.get("subsets"):
+        fw = results["subsets"][0]["framewise_mean"]
+        print(f"Framewise f_measure: {fw.get('f_measure')}")
+
+
+def _shrink_for_smoke(cfg):
+    """Scale the model down for a fast synthetic-data smoke run (keeps the
+    class and code path; attention embed dims follow the bottleneck)."""
+    import dataclasses
+
+    kw = dict(cfg.model_kwargs)
+    kw["n_chan_layers"] = [8, 8, 4, 2]
+    if "scalefac" in kw:
+        kw["scalefac"] = 16
+    if "embed_dim" in kw:
+        if cfg.model_class == "u_net_blstm_varlayers":
+            kw["embed_dim"], kw["hidden_size"] = 416, 208
+        elif cfg.model_class.startswith("u_net_temporal"):
+            kw["scalefac"] = 2
+            kw["embed_dim"] = 1728
+            if "hidden_size" in kw:
+                kw["hidden_size"] = 864
+        else:
+            kw["embed_dim"] = 32
+    if "mlp_dim" in kw:
+        kw["mlp_dim"] = 64
+    if "n_prefilt_layers" in kw:
+        kw["n_prefilt_layers"] = min(kw.get("n_prefilt_layers", 1), 2)
+    tc = dataclasses.replace(cfg.train_config, batch_size=8)
+    return dataclasses.replace(cfg, model_kwargs=kw, train_config=tc)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Experiment layer: the config registry distilled from the reference's
+111 scripts plus one configurable runner."""
+
+from .configs import (
+    ExperimentConfig,
+    available_experiments,
+    load_experiment,
+    build_model,
+    MODEL_REGISTRY,
+    BIGMIX_STRIDES,
+)
+from .runner import run_experiment, SyntheticCorpus, NpyCorpus
+
+__all__ = [
+    "ExperimentConfig",
+    "available_experiments",
+    "load_experiment",
+    "build_model",
+    "MODEL_REGISTRY",
+    "BIGMIX_STRIDES",
+    "run_experiment",
+    "SyntheticCorpus",
+    "NpyCorpus",
+]

@@ -1,0 +1,297 @@
+"""The single experiment runner — replaces the reference's per-script
+train/val/test program (canonical anatomy exp180d…py:185-520, SURVEY §2.8)
+with one implementation driven by :class:`ExperimentConfig`.
+
+Faithful protocol:
+- split by filename-prefix matching (exp180d…py:238-247);
+- train with on-device augmentation, validate without;
+- test on the reference's 3 subsets (10-file full / 3-file first-90s
+  (3920 frames) / 3-file full — exp180d…py:403-426) with stride-1
+  framewise prediction, per-file predictions saved as .npy, both metric
+  families computed, filewise and frame-weighted means logged in the
+  reference's log format, subset-0 results written to CSV.
+"""
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import FileSpec, TrainPipeline
+from ..eval import (calculate_eval_measures, calculate_mpe_measures_mireval,
+                    predict_framewise)
+from ..train.trainer import Trainer, _Checkpointer
+from .configs import ExperimentConfig
+
+MIREVAL_KEYS = [
+    "Precision", "Recall", "Accuracy", "Substitution Error", "Miss Error",
+    "False Alarm Error", "Total Error", "Chroma Precision", "Chroma Recall",
+    "Chroma Accuracy", "Chroma Substitution Error", "Chroma Miss Error",
+    "Chroma False Alarm Error", "Chroma Total Error",
+]
+
+
+@dataclass
+class NpyCorpus:
+    """Per-file ``.npy`` pairs like the reference's precomputed features:
+    ``data_dir/<fn>.npy`` = HCQT (216, T, 6), ``annot_dir/<fn>.npy`` =
+    pitch roll (128, T) (exp180d…py:258-278 layout)."""
+
+    data_dir: str
+    annot_dir: str
+
+    def files(self) -> List[str]:
+        return sorted(os.listdir(self.data_dir))
+
+    def load(self, fn: str) -> Tuple[np.ndarray, np.ndarray]:
+        inputs = np.transpose(
+            np.load(os.path.join(self.data_dir, fn)), (2, 1, 0))
+        targets = np.load(os.path.join(self.annot_dir, fn)).T
+        return inputs.astype(np.float32), targets.astype(np.float32)
+
+
+@dataclass
+class SyntheticCorpus:
+    """Synthetic data for smoke runs: file names are derived from the
+    experiment's split prefixes so the prefix matching exercises the same
+    code path as real data."""
+
+    config: ExperimentConfig
+    frames: int = 400
+    n_train_files: int = 2
+    seed: int = 0
+
+    def files(self) -> List[str]:
+        names = [f"train{i:03d}_synth.npy" for i in range(self.n_train_files)]
+        for v in self.config.val_versions[:1]:
+            names.append(f"{v}valsynth.npy")
+        for v in (self.config.test_versions or ["test_"])[:2]:
+            names.append(f"{v}testsynth.npy")
+        for v in self.config.test_versions_small[:1]:
+            if not any(n.startswith(v) for n in names):
+                names.append(f"{v}testsynth.npy")
+        return names
+
+    def load(self, fn: str):
+        rng = np.random.RandomState(abs(hash(fn)) % (2 ** 31))
+        t = self.frames
+        inputs = rng.rand(6, t, 216).astype(np.float32)
+        targets = (rng.rand(t, 128) > 0.93).astype(np.float32)
+        return inputs, targets
+
+
+def _slice_targets(targets, cfg: ExperimentConfig):
+    if cfg.num_output_bins != 12:
+        return targets[:, cfg.min_pitch:cfg.min_pitch + cfg.num_output_bins]
+    return targets
+
+
+def _matches(fn: str, versions: Sequence[str]) -> bool:
+    return any(v in fn for v in versions)
+
+
+def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
+                   logger: Optional[logging.Logger] = None,
+                   do_train: bool = True, do_val: bool = True,
+                   do_test: bool = True, store_predictions: bool = True,
+                   store_results_filewise: bool = True, mesh=None,
+                   max_epochs_override: Optional[int] = None) -> Dict:
+    """Run one experiment end to end. Returns a results dict with history
+    and per-subset metric aggregates."""
+    logger = logger or _default_logger(cfg.name, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "models", cfg.name)
+    results: Dict = {"name": cfg.name}
+
+    model = cfg.build_model()
+    tcfg = cfg.train_config
+    if max_epochs_override is not None:
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, max_epochs=max_epochs_override)
+    trainer = Trainer(model, tcfg, mesh=mesh, logger=logger)
+    state = trainer.init(jnp.zeros((1, 6, cfg.context, 216)))
+
+    test_and_val = list(cfg.test_versions) + list(cfg.val_versions)
+    for subset in cfg.extra_test_subsets.values():
+        test_and_val += list(subset)
+
+    if do_train:
+        train_files, val_files = [], []
+        for fn in corpus.files():
+            if not _matches(fn, test_and_val + cfg.test_versions_small):
+                train_files.append(fn)
+                logger.info(" - file %s added to training set.", fn)
+            elif do_val and _matches(fn, cfg.val_versions):
+                val_files.append(fn)
+                logger.info(" - file %s added to validation set.", fn)
+
+        def specs(fns):
+            out = []
+            for fn in fns:
+                inputs, targets = corpus.load(fn)
+                out.append(FileSpec(inputs, _slice_targets(targets, cfg)))
+            return out
+
+        train_p = TrainPipeline(specs(train_files), context=cfg.context,
+                                stride=cfg.train_stride, augment=cfg.augment,
+                                target_slice=None)
+        logger.info("Training set & loader generated, length %d",
+                    len(train_p))
+        val_p = None
+        if do_val and val_files:
+            val_p = TrainPipeline(specs(val_files), context=cfg.context,
+                                  stride=cfg.val_stride, target_slice=None,
+                                  compression=cfg.augment.compression)
+            logger.info("Validation set & loader generated, length %d",
+                        len(val_p))
+
+        logger.info("\n \n ###################### START TRAINING "
+                    "###################### \n")
+        state, history = trainer.fit(
+            lambda epoch, key: train_p.batches(key, tcfg.batch_size),
+            (lambda epoch, key: val_p.batches(key, cfg.val_batch_size,
+                                              shuffle=False))
+            if val_p else None,
+            state=state, checkpoint_dir=ckpt_dir)
+        results["history"] = history
+        logger.info(" ### trained model saved in %s \n", ckpt_dir)
+
+    if do_test:
+        logger.info("\n \n ###################### START TESTING "
+                    "###################### \n")
+        if do_train and tcfg.early_stopping and os.path.isdir(ckpt_dir):
+            state, _ = _Checkpointer(ckpt_dir).restore(state)
+
+        def apply_fn(variables, x):
+            return model.apply(variables, x, train=False)
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        subsets = [("large test set (10 files)", cfg.test_versions, None),
+                   ("small test set (3 files), first 90s",
+                    cfg.test_versions_small, 3920),
+                   ("small test set (3 files), full",
+                    cfg.test_versions_small, None)]
+        results["subsets"] = []
+        for subset_idx, (desc, versions, max_frames) in enumerate(subsets):
+            if not versions:
+                continue
+            agg = _test_subset(
+                cfg, corpus, versions, max_frames, apply_fn, variables,
+                logger, desc,
+                os.path.join(out_dir, "predictions", cfg.name)
+                if store_predictions and subset_idx == 0 else None)
+            results["subsets"].append(agg)
+            if subset_idx == 0 and store_results_filewise:
+                _write_csv(agg, os.path.join(
+                    out_dir, "results_filewise", cfg.name + ".csv"))
+    return results
+
+
+def _test_subset(cfg, corpus, versions, max_frames, apply_fn, variables,
+                 logger, desc, predictions_dir):
+    eval_measures = cfg.eval_measures
+    n_files = 0
+    total = np.zeros(len(eval_measures))
+    total_mireval = np.zeros(len(MIREVAL_KEYS))
+    n_kframes = 0.0
+    framewise = np.zeros(len(eval_measures))
+    framewise_mireval = np.zeros(len(MIREVAL_KEYS))
+    per_file = []
+
+    for fn in corpus.files():
+        if not _matches(fn, versions):
+            continue
+        inputs, targets = corpus.load(fn)
+        targets = _slice_targets(targets, cfg)
+        if max_frames is not None:
+            inputs = inputs[:, :max_frames, :]
+            targets = targets[:max_frames, :]
+        pred = predict_framewise(apply_fn, variables, inputs,
+                                 context=cfg.context,
+                                 batch_size=cfg.test_batch_size,
+                                 compression=cfg.augment.compression)
+        assert pred.shape == targets.shape, (pred.shape, targets.shape)
+        if predictions_dir:
+            os.makedirs(predictions_dir, exist_ok=True)
+            np.save(os.path.join(predictions_dir, fn[:-4] + ".npy"), pred)
+
+        eval_dict = calculate_eval_measures(
+            targets, pred, measures=eval_measures, threshold=cfg.eval_thresh)
+        eval_numbers = np.fromiter(eval_dict.values(), dtype=float)
+        mpe = calculate_mpe_measures_mireval(
+            targets, pred, threshold=cfg.eval_thresh, min_pitch=cfg.min_pitch)
+        mireval_numbers = np.array([mpe[k] for k in MIREVAL_KEYS])
+
+        n_files += 1
+        total += eval_numbers
+        total_mireval += mireval_numbers
+        kframes = targets.shape[0] / 1000
+        n_kframes += kframes
+        framewise += kframes * eval_numbers
+        framewise_mireval += kframes * mireval_numbers
+        per_file.append((fn, eval_dict, mpe))
+        logger.info("file %s tested. Cosine sim: %s", fn,
+                    eval_dict.get("cosine_sim"))
+
+    logger.info("### Testing done. ########################################"
+                "######## \n")
+    logger.info("#   Results for %s ######################### \n", desc)
+    mean_meas = total / max(n_files, 1)
+    mean_mireval = total_mireval / max(n_files, 1)
+    for k, name in enumerate(eval_measures):
+        logger.info("Mean %s:   %s", name, mean_meas[k])
+    for k, name in enumerate(MIREVAL_KEYS):
+        logger.info("Mean %s:   %s", name, mean_mireval[k])
+    logger.info("\n")
+    fw_means = framewise / max(n_kframes, 1e-12)
+    fw_mireval = framewise_mireval / max(n_kframes, 1e-12)
+    for k, name in enumerate(eval_measures):
+        logger.info("Framewise %s:   %s", name, fw_means[k])
+    for k, name in enumerate(MIREVAL_KEYS):
+        logger.info("Framewise %s:   %s", name, fw_mireval[k])
+
+    filewise_mean = dict(zip(eval_measures, mean_meas.tolist()))
+    filewise_mean.update(zip(MIREVAL_KEYS, mean_mireval.tolist()))
+    framewise_mean = dict(zip(eval_measures, fw_means.tolist()))
+    framewise_mean.update(zip(MIREVAL_KEYS, fw_mireval.tolist()))
+    return {
+        "description": desc,
+        "n_files": n_files,
+        "per_file": per_file,
+        "filewise_mean": filewise_mean,
+        "framewise_mean": framewise_mean,
+    }
+
+
+def _write_csv(agg, path):
+    import pandas as pd
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = []
+    for fn, eval_dict, mpe in agg["per_file"]:
+        rows.append({"Filename": fn, **eval_dict, **mpe})
+    rows.append({"Filename": "FILEWISE MEAN", **agg["filewise_mean"]})
+    rows.append({"Filename": "FRAMEWISE MEAN", **agg["framewise_mean"]})
+    pd.DataFrame(rows).to_csv(path)
+
+
+def _default_logger(name, out_dir):
+    os.makedirs(os.path.join(out_dir, "logs"), exist_ok=True)
+    logger = logging.getLogger(f"experiment.{name}")
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        fh = logging.FileHandler(
+            os.path.join(out_dir, "logs", name + ".txt"))
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s | %(levelname)s : %(message)s"))
+        logger.addHandler(fh)
+        logger.addHandler(logging.StreamHandler())
+    return logger

@@ -1,0 +1,123 @@
+"""Tests for the experiment layer: registry completeness vs the reference
+scripts, config faithfulness, model building for every registered
+experiment, and an end-to-end smoke run."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multipitch_architectures_tpu.experiments import (
+    NpyCorpus,
+    SyntheticCorpus,
+    available_experiments,
+    build_model,
+    load_experiment,
+    run_experiment,
+)
+
+
+def test_registry_covers_all_111_reference_scripts():
+    names = available_experiments()
+    assert len(names) == 111
+    ref_dir = "/root/reference/experiments"
+    if os.path.isdir(ref_dir):
+        expected = set()
+        for fam in os.listdir(ref_dir):
+            d = os.path.join(ref_dir, fam)
+            if os.path.isdir(d) and fam != "logs":
+                expected |= {os.path.splitext(f)[0] for f in os.listdir(d)
+                             if f.endswith(".py")}
+        assert set(names) == expected
+
+
+def test_flagship_config_values():
+    """exp180d values vs the script's config block (exp180d…py:38-151)."""
+    cfg = load_experiment("exp180d_musicnet_unet_extremelylarge_doubleselfattn")
+    assert cfg.model_class == "simple_u_net_doubleselfattn"
+    assert cfg.model_kwargs["scalefac"] == 4
+    assert cfg.model_kwargs["embed_dim"] == 128
+    assert cfg.model_kwargs["mlp_dim"] == 8192
+    assert cfg.model_kwargs["pos_encoding"] == "sinusoidal"
+    assert cfg.train_config.batch_size == 25
+    assert cfg.train_config.initial_lr == 1e-3
+    assert cfg.train_config.weight_decay == 0.01
+    assert cfg.train_config.scheduler == "ReduceLROnPlateau"
+    assert cfg.train_config.scheduler_params["patience"] == 5
+    assert cfg.train_config.es_patience == 12
+    assert cfg.train_stride == 50 and cfg.test_stride == 1
+    assert cfg.augment.transposition == 5
+    assert cfg.augment.randomeq == 20
+    assert cfg.augment.tuning is True
+    assert cfg.eval_thresh == 0.4
+    assert cfg.num_output_bins == 72 and cfg.min_pitch == 24
+    assert len(cfg.test_versions) == 10
+    # the upstream missing-comma bug leaves 30 (not 33) val prefixes
+    assert len(cfg.val_versions) == 30
+    assert "1828_1829_" in cfg.val_versions
+
+
+def test_fix_val_split_repairs_merged_prefixes():
+    cfg = load_experiment(
+        "exp180d_musicnet_unet_extremelylarge_doubleselfattn",
+        fix_val_split=True)
+    assert len(cfg.val_versions) == 33
+    assert "1828_" in cfg.val_versions and "1829_" in cfg.val_versions
+
+
+def test_moresamples_batch_cap_captured():
+    cfg = load_experiment(
+        "exp180d_musicnet_unet_extremelylarge_doubleselfattn_moresamples")
+    assert cfg.train_config.max_train_batches == 3800
+    assert cfg.train_stride == 20
+
+
+def test_multitask_experiments_use_multitask_loss():
+    cfg = load_experiment(
+        "exp195f_musicnet_unet_extremelylarge_polyphony_softmax")
+    assert cfg.train_config.loss == "multitask"
+    assert cfg.model_class == "simple_u_net_polyphony_classif_softmax"
+
+
+def test_every_registered_model_builds():
+    """Every experiment's model must construct and report a parameter
+    tree (eval_shape — no compile)."""
+    seen = set()
+    for name in available_experiments():
+        cfg = load_experiment(name)
+        key = (cfg.model_class, tuple(sorted(map(str, cfg.model_kwargs.items()))))
+        if key in seen:
+            continue
+        seen.add(key)
+        model = cfg.build_model()
+        v = jax.eval_shape(
+            lambda m=model: m.init({"params": jax.random.PRNGKey(0)},
+                                   jnp.zeros((1, 6, 75, 216)), train=False))
+        assert sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(v["params"])) > 1000
+    assert len(seen) >= 25  # distinct model configs across the 111 scripts
+
+
+def test_schubert_experiment_has_version_splits():
+    cfg = load_experiment("exp201a_schubert_versionsplit_unet_extremelylarge_doubleselfattn")
+    assert cfg.train_versions == ["AL98", "FI55", "FI80", "OL06", "QU98"]
+    assert cfg.test_versions == ["HU33", "SC06"]
+
+
+def test_end_to_end_smoke(tmp_path):
+    """Full train+val+test on synthetic data with a small CNN config."""
+    cfg = load_experiment("exp126a_musicnet_cnn_basic")
+    corpus = SyntheticCorpus(cfg, frames=250, n_train_files=2)
+    results = run_experiment(
+        cfg, corpus, str(tmp_path), max_epochs_override=1,
+        logger=logging.getLogger("smoke"))
+    assert "history" in results
+    assert len(results["subsets"]) == 3
+    fw = results["subsets"][0]["framewise_mean"]
+    assert "f_measure" in fw and np.isfinite(fw["f_measure"])
+    assert (tmp_path / "results_filewise").exists()
+    csvs = list((tmp_path / "results_filewise").glob("*.csv"))
+    assert len(csvs) == 1
