@@ -1,0 +1,5 @@
+"""Host IO: native (C++) mmap npy loader with prefetch."""
+
+from .native_loader import NativeWindowLoader, build_native_library
+
+__all__ = ["NativeWindowLoader", "build_native_library"]
