@@ -21,7 +21,7 @@ per-call compute path is pure jnp and jittable with static plan.
 
 import math
 from dataclasses import dataclass, field
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Tuple
 
 import numpy as np
@@ -170,11 +170,14 @@ def _decimate2(y, taps):
     return out[: (y.shape[0] + 1) // 2]
 
 
+@partial(jax.jit, static_argnames=("plan",))
 def cqt(y, plan: CqtPlan):
     """Magnitude CQT of ``y`` (1-D float array) → (n_bins, n_frames) f32.
 
     ``n_frames = len(y) // hop + 1`` (librosa centered-stft convention,
     matching the reference's frame-count expectation, hcqt.py:125).
+    Jitted as ONE executable per (plan, audio length): the octave loop
+    unrolls into a single XLA graph of strided convs.
     """
     kr, sqrt_lengths, n_fft, n_octaves, taps = [d.a if isinstance(d, _HashableArray) else d
                                                 for d in plan._data]
