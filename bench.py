@@ -24,16 +24,22 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 AUDIO_SECONDS = 60.0
 FS = 22050
-BATCH = 512
+BATCH = 256
 TARGET_RT = 50.0
 
 
 def main():
     import jax
+
+    # persistent compilation cache: repeat bench invocations skip the
+    # (minutes-long, tunnel-bound) XLA compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/multipitch_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from multipitch_architectures_tpu.data.windows import gather_windows
-    from multipitch_architectures_tpu.dsp.hcqt import compute_efficient_hcqt
+    from multipitch_architectures_tpu.dsp.hcqt import efficient_hcqt_device
     from multipitch_architectures_tpu.experiments import load_experiment
 
     # -- audio -------------------------------------------------------------
@@ -55,11 +61,13 @@ def main():
         y = model.apply(variables, x, train=False)
         return y.reshape(y.shape[0], -1)
 
+    audio_dev = jnp.asarray(audio)
+
     def run_once():
-        f, _, hop = compute_efficient_hcqt(
-            audio, fs=FS, fs_hcqt_target=50, bins_per_octave=36,
+        f, _, hop = efficient_hcqt_device(
+            audio_dev, fs=FS, fs_hcqt_target=50, bins_per_octave=36,
             num_octaves=6, tuning=0.0)
-        x = jnp.log1p(10.0 * jnp.asarray(np.transpose(f, (2, 1, 0))))
+        x = jnp.log1p(10.0 * f)
         n_frames = x.shape[1]
         half = 75 // 2
         xp = jnp.pad(x, ((0, 0), (half, half + 1), (0, 0)))

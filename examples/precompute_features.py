@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Precompute HCQT features + pitch annotations for a corpus — the
+equivalent of the reference's 01_precompute_features.ipynb.
+
+For each ``<name>.wav`` (or ``.npy`` raw audio) in --audio-dir with a
+matching ``<name>.csv`` note-event file (MusicNet schema:
+start_sample,end_sample,instrument,midi_note,... at 44.1 kHz sample
+indices — data/MusicNet/csv), writes:
+
+    <out>/hcqt/<name>.npy   (216, T, 6)  float32   (reference layout)
+    <out>/pitch/<name>.npy  (128, T)     float32
+
+Audio loading: .npy (mono float at --fs) or .wav via scipy.io.wavfile.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multipitch_architectures_tpu.dsp import (  # noqa: E402
+    compute_annotation_array_nooverlap, compute_efficient_hcqt)
+
+
+def load_audio(path, fs):
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(path)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if data.dtype.kind == "i":
+        data = data / np.iinfo(data.dtype).max
+    if rate != fs:
+        from scipy.signal import resample_poly
+
+        g = np.gcd(rate, fs)
+        data = resample_poly(data, fs // g, rate // g)
+    return np.asarray(data, np.float32)
+
+
+def load_note_events(csv_path, source_fs=44100.0):
+    """MusicNet csv → (start_sec, end_sec, midi_pitch) rows
+    (01 notebook cell 7: sample indices / 44100)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    cols = {c.lower(): c for c in df.columns}
+    start = df[cols.get("start_time", df.columns[0])].to_numpy() / source_fs
+    end = df[cols.get("end_time", df.columns[1])].to_numpy() / source_fs
+    pitch = df[cols.get("note", df.columns[3])].to_numpy()
+    return np.stack([start, end, pitch], axis=1)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--audio-dir", required=True)
+    ap.add_argument("--csv-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--fs", type=int, default=22050)
+    ap.add_argument("--fs-hcqt-target", type=float, default=50)
+    ap.add_argument("--bins-per-octave", type=int, default=36)
+    args = ap.parse_args()
+
+    os.makedirs(os.path.join(args.out_dir, "hcqt"), exist_ok=True)
+    os.makedirs(os.path.join(args.out_dir, "pitch"), exist_ok=True)
+    for fn in sorted(os.listdir(args.audio_dir)):
+        name, ext = os.path.splitext(fn)
+        if ext not in (".wav", ".npy"):
+            continue
+        audio = load_audio(os.path.join(args.audio_dir, fn), args.fs)
+        f_hcqt, fs_hcqt, _ = compute_efficient_hcqt(
+            audio, fs=args.fs, fs_hcqt_target=args.fs_hcqt_target,
+            bins_per_octave=args.bins_per_octave, num_octaves=6)
+        events = load_note_events(os.path.join(args.csv_dir, name + ".csv"))
+        roll = compute_annotation_array_nooverlap(
+            events, f_hcqt.shape[1], fs_hcqt, annot_type="pitch")
+        np.save(os.path.join(args.out_dir, "hcqt", name + ".npy"),
+                f_hcqt.astype(np.float32))
+        np.save(os.path.join(args.out_dir, "pitch", name + ".npy"),
+                roll.astype(np.float32))
+        print(f"{name}: hcqt {f_hcqt.shape}, roll {roll.shape}")
+
+
+if __name__ == "__main__":
+    main()

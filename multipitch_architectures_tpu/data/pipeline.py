@@ -27,10 +27,15 @@ from .windows import gather_windows, gather_targets, window_centers
 
 @dataclass
 class FileSpec:
-    """One recording: HCQT (C, T, F) and frame targets (T, n_bins)."""
+    """One recording: HCQT (C, T, F) and frame targets (T, n_bins).
+
+    ``stride`` optionally overrides the pipeline stride for this file —
+    the Exp4 big-mix study uses per-corpus strides (35/6/1/2/4,
+    exp210d_bigmix…py:310-438, SURVEY §2.8)."""
 
     inputs: np.ndarray
     targets: np.ndarray
+    stride: Optional[int] = None
 
     def __post_init__(self):
         assert self.inputs.ndim == 3 and self.targets.ndim == 2
@@ -66,7 +71,8 @@ class TrainPipeline:
             y = np.asarray(f.targets, np.float32)
             if target_slice is not None:
                 y = y[:, target_slice[0]:target_slice[1]]
-            centers.append(window_centers(x.shape[1], context, stride,
+            centers.append(window_centers(x.shape[1], context,
+                                          f.stride or stride,
                                           offset=offset))
             pieces_x.append(x)
             pieces_y.append(y)

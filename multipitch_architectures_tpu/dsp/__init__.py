@@ -11,6 +11,7 @@ from .hcqt import (
     compute_hopsize_cqt,
     compute_hcqt,
     compute_efficient_hcqt,
+    efficient_hcqt_device,
     hcqt,
 )
 from .cqt import cqt, CqtPlan, cqt_direct_numpy
@@ -24,6 +25,7 @@ __all__ = [
     "compute_hopsize_cqt",
     "compute_hcqt",
     "compute_efficient_hcqt",
+    "efficient_hcqt_device",
     "hcqt",
     "cqt",
     "CqtPlan",

@@ -138,8 +138,11 @@ def _reflect_pad(y, pad):
 def _frame_matmul(y, kr, n_fft, hop, n_frames):
     """Reflect-pad, frame (centered, stride=hop), and apply the kernel bank,
     producing exactly ``n_frames`` frames (edge-padded if the decimated
-    signal ran one frame short). Implemented as a strided conv so XLA
-    lowers it onto the MXU.
+    signal ran one frame short).
+
+    Implemented as an index gather + ONE (n_frames, n_fft)x(n_fft, 2bpo)
+    MXU matmul. (A strided conv is mathematically the same but the TPU
+    compiler's 1-D conv lowering takes minutes when stride << kernel.)
     """
     pad = n_fft // 2
     # ensure enough samples for n_frames strided windows
@@ -147,54 +150,93 @@ def _frame_matmul(y, kr, n_fft, hop, n_frames):
     yp = _reflect_pad(y, pad)
     if yp.shape[0] < need:
         yp = jnp.pad(yp, (0, need - yp.shape[0]), mode="edge")
-    # conv formulation: out[t, c] = sum_m yp[t*hop + m] * kr[m, c]
-    lhs = yp[None, None, :]                      # (1, 1, L)
-    rhs = jnp.transpose(kr, (1, 0))[:, None, :]  # (2bpo, 1, n_fft)
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(hop,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )[0]                                          # (2bpo, T)
-    return out[:, :n_frames].T                    # (T, 2bpo)
+    idx = (jnp.arange(n_frames)[:, None] * hop
+           + jnp.arange(n_fft)[None, :])          # (T, n_fft)
+    frames = jnp.take(yp, idx)
+    return jnp.dot(frames, kr,
+                   preferred_element_type=jnp.float32)  # (T, 2bpo)
 
 
-def _decimate2(y, taps):
-    """Half-band filter + 2:1 decimation (linear phase, 'same' alignment)."""
-    pad = taps.shape[0] // 2
+def _decimate2(y, taps, row_len: int = 8192):
+    """Half-band filter + 2:1 decimation (linear phase, 'same' alignment).
+
+    Implemented as a batched conv over overlapped rows of ``row_len``
+    input samples: the obvious single stride-2 conv over the full signal
+    makes the TPU compiler explode (minutes-to-hours compile time scaling
+    with output length), while the rowed form — identical outputs, halo
+    of k-1 samples between rows — compiles in seconds and runs at HBM
+    bandwidth. NB lax.conv flips the kernel; the half-band taps are
+    symmetric so correlation == convolution here.
+    """
+    k = taps.shape[0]
+    pad = k // 2
     yp = _reflect_pad(y, pad)
+    n_out = (y.shape[0] + 1) // 2
+    if y.shape[0] <= 2 * row_len:
+        out = jax.lax.conv_general_dilated(
+            yp[None, None, :], taps[None, None, ::-1], window_strides=(2,),
+            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )[0, 0]
+        return out[:n_out]
+    rows_n = -(-y.shape[0] // row_len)
+    total = rows_n * row_len + (k - 1)
+    yp = jnp.pad(yp, (0, max(0, total - yp.shape[0])))
+    main = jax.lax.slice(yp, (0,), (rows_n * row_len,)).reshape(rows_n,
+                                                               row_len)
+    halo = jnp.stack([
+        jax.lax.dynamic_slice(yp, (r * row_len + row_len,), (k - 1,))
+        for r in range(rows_n)
+    ])
+    rows = jnp.concatenate([main, halo], axis=1)     # (R, row_len + k - 1)
     out = jax.lax.conv_general_dilated(
-        yp[None, None, :], taps[None, None, ::-1], window_strides=(2,),
+        rows[:, None, :], taps[None, None, ::-1], window_strides=(2,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-    )[0, 0]
-    return out[: (y.shape[0] + 1) // 2]
+    )[:, 0, :]
+    return out.reshape(-1)[:n_out]
 
 
-@partial(jax.jit, static_argnames=("plan",))
-def cqt(y, plan: CqtPlan):
+def cqt(y, plan: CqtPlan, use_pallas: bool = False):
     """Magnitude CQT of ``y`` (1-D float array) → (n_bins, n_frames) f32.
 
     ``n_frames = len(y) // hop + 1`` (librosa centered-stft convention,
     matching the reference's frame-count expectation, hcqt.py:125).
-    Jitted as ONE executable per (plan, audio length): the octave loop
-    unrolls into a single XLA graph of strided convs.
+    Jitted as ONE executable per (geometry, audio length) — kernels are
+    traced arguments, so plans that differ only in fmin (e.g. the three
+    base-harmonic CQTs of the efficient HCQT with equal octave counts)
+    share a compile. The octave loop unrolls into a single XLA graph of
+    frame gather+matmuls — or, with ``use_pallas=True``, into the fused
+    gather+MXU+magnitude Pallas kernel per octave (ops/pallas_cqt.py).
     """
-    kr, sqrt_lengths, n_fft, n_octaves, taps = [d.a if isinstance(d, _HashableArray) else d
-                                                for d in plan._data]
-    kr = jnp.asarray(kr)
-    sqrt_lengths = jnp.asarray(sqrt_lengths)
-    taps_j = jnp.asarray(taps)
-    bpo = plan.bins_per_octave
+    kr, sqrt_lengths, n_fft, n_octaves, taps = [
+        d.a if isinstance(d, _HashableArray) else d for d in plan._data]
+    return _cqt_impl(jnp.asarray(y, jnp.float32), jnp.asarray(kr),
+                     jnp.asarray(sqrt_lengths), jnp.asarray(taps),
+                     hop=plan.hop, n_fft=n_fft, n_octaves=n_octaves,
+                     bpo=plan.bins_per_octave, n_bins=plan.n_bins,
+                     use_pallas=use_pallas)
 
-    y = jnp.asarray(y, jnp.float32)
-    n_frames = y.shape[0] // plan.hop + 1
+
+@partial(jax.jit, static_argnames=("hop", "n_fft", "n_octaves", "bpo",
+                                   "n_bins", "use_pallas"))
+def _cqt_impl(y, kr, sqrt_lengths, taps_j, *, hop, n_fft, n_octaves, bpo,
+              n_bins, use_pallas):
+    n_frames = y.shape[0] // hop + 1
     octaves = []
-    hop = plan.hop
     cur = y
     for k in range(n_octaves):
-        ri = _frame_matmul(cur, kr, n_fft, hop, n_frames)  # (T, 2bpo)
-        re, im = ri[:, :bpo], ri[:, bpo:]
-        mag = jnp.sqrt(re * re + im * im + 1e-30)
+        if use_pallas:
+            from ..ops.pallas_cqt import cqt_octave_pallas
+
+            yp = _reflect_pad(cur, n_fft // 2)
+            mag = cqt_octave_pallas(
+                yp, kr, hop=hop, n_fft=n_fft, bpo=bpo, n_frames=n_frames,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            ri = _frame_matmul(cur, kr, n_fft, hop, n_frames)  # (T, 2bpo)
+            re, im = ri[:, :bpo], ri[:, bpo:]
+            mag = jnp.sqrt(re * re + im * im + 1e-30)
         mag = mag * (sqrt_lengths * np.sqrt(2.0 ** k))   # full-rate length scale
         octaves.append(mag)
         if k + 1 < n_octaves:
@@ -203,7 +245,7 @@ def cqt(y, plan: CqtPlan):
     # stack: octave k covers bins [n_bins - (k+1)*bpo, n_bins - k*bpo)
     out = jnp.concatenate([octaves[k] for k in range(n_octaves - 1, -1, -1)],
                           axis=1)                         # (T, n_octaves*bpo)
-    out = out[:, -plan.n_bins:] if out.shape[1] != plan.n_bins else out
+    out = out[:, -n_bins:] if out.shape[1] != n_bins else out
     return out.T                                          # (n_bins, T)
 
 

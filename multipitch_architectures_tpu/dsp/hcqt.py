@@ -76,6 +76,45 @@ def _harmonic_layout(num_harmonics, num_subharmonics):
     return harmonics, assignment
 
 
+def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
+                          bins_per_octave=60, num_octaves=6, num_harmonics=5,
+                          num_subharmonics=1, center_bins=True,
+                          tuning: Optional[float] = 0.0,
+                          use_pallas: bool = False):
+    """Efficient HCQT with zero host roundtrips: the whole pipeline stays
+    on device; returns (jnp (n_harm, T, F) in the model layout, fs_hcqt,
+    hopsize). ``tuning`` must be a number here (estimation is a host-side
+    step; run :func:`estimate_tuning` separately if needed)."""
+    num_octaves_eff = num_octaves + int(
+        np.ceil(np.log2(num_subharmonics + 1) + np.log2(num_harmonics)))
+    hopsize_cqt, _ = compute_hopsize_cqt(fs_hcqt_target, fs=fs,
+                                         num_octaves=num_octaves_eff)
+    fs_hcqt = fs / hopsize_cqt
+    assert bins_per_octave % 12 == 0, "bins_per_octave must be multiple of 12"
+    fmin = _centered_fmin(fmin, bins_per_octave, center_bins)
+    fmin_tuned = fmin * 2 ** (tuning / bins_per_octave)
+
+    n_frames = int(len(f_audio) // hopsize_cqt) + 1
+    n_bins = bins_per_octave * num_octaves
+    harmonics, assignment = _harmonic_layout(num_harmonics, num_subharmonics)
+    y = jnp.asarray(f_audio, jnp.float32)
+
+    channels = [None] * len(harmonics)
+    for base in sorted({b for b, _ in assignment}):
+        max_shift = max(s for b, s in assignment if b == base)
+        plan = _plan(float(fs), int(hopsize_cqt), float(fmin_tuned * base),
+                     int((num_octaves + max_shift) * bins_per_octave),
+                     int(bins_per_octave))
+        f_cqt = cqt(y, plan, use_pallas=use_pallas)       # (bins, T) device
+        for idx, (b, shift) in enumerate(assignment):
+            if b != base:
+                continue
+            lo = shift * bins_per_octave
+            channels[idx] = f_cqt[lo:lo + n_bins, :n_frames].T  # (T, F)
+    out = jnp.stack(channels, axis=0)                     # (n_harm, T, F)
+    return out, fs_hcqt, hopsize_cqt
+
+
 def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
                            bins_per_octave=60, num_octaves=6, num_harmonics=5,
                            num_subharmonics=1, center_bins=True,
@@ -84,43 +123,22 @@ def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
     harmonic, octave-shifted slices for 2^k-related harmonics.
 
     Returns (f_hcqt (n_bins, n_frames, n_harm+n_sub) numpy f32, fs_hcqt,
-    hopsize). ``tuning`` overrides the estimated tuning offset (in
-    fractional bins); pass 0.0 to skip estimation.
+    hopsize) — the reference's layout. ``tuning`` overrides the estimated
+    tuning offset (in fractional bins); pass 0.0 to skip estimation.
+    For an on-device, zero-roundtrip variant see
+    :func:`efficient_hcqt_device`.
     """
     f_audio = np.asarray(f_audio, np.float32)
-    num_octaves_eff = num_octaves + int(
-        np.ceil(np.log2(num_subharmonics + 1) + np.log2(num_harmonics)))
-    hopsize_cqt, _ = compute_hopsize_cqt(fs_hcqt_target, fs=fs,
-                                         num_octaves=num_octaves_eff)
-    fs_hcqt = fs / hopsize_cqt
-    assert bins_per_octave % 12 == 0, "bins_per_octave must be multiple of 12"
-    fmin = _centered_fmin(fmin, bins_per_octave, center_bins)
     if tuning is None:
         tuning = estimate_tuning(f_audio, fs=fs,
                                  bins_per_octave=bins_per_octave)
-    fmin_tuned = fmin * 2 ** (tuning / bins_per_octave)
-
-    n_frames = int(np.floor(f_audio.shape[0] / hopsize_cqt)) + 1
-    n_bins = bins_per_octave * num_octaves
-    harmonics, assignment = _harmonic_layout(num_harmonics, num_subharmonics)
-    out = np.zeros((n_bins, n_frames, len(harmonics)), np.float32)
-
-    # one CQT per base, spanning enough octaves for its highest harmonic
-    bases = sorted({b for b, _ in assignment})
-    for base in bases:
-        max_shift = max(s for b, s in assignment if b == base)
-        num_oct_curr = num_octaves + max_shift
-        plan = _plan(float(fs), int(hopsize_cqt),
-                     float(fmin_tuned * base),
-                     int(num_oct_curr * bins_per_octave),
-                     int(bins_per_octave))
-        f_cqt = np.asarray(cqt(f_audio, plan))            # (bins, T)
-        for idx, (b, shift) in enumerate(assignment):
-            if b != base:
-                continue
-            lo = shift * bins_per_octave
-            out[:, :, idx] = f_cqt[lo:lo + n_bins, :n_frames]
-    return out, fs_hcqt, hopsize_cqt
+    out, fs_hcqt, hopsize_cqt = efficient_hcqt_device(
+        f_audio, fs=fs, fmin=fmin, fs_hcqt_target=fs_hcqt_target,
+        bins_per_octave=bins_per_octave, num_octaves=num_octaves,
+        num_harmonics=num_harmonics, num_subharmonics=num_subharmonics,
+        center_bins=center_bins, tuning=float(tuning))
+    # (n_harm, T, F) device -> reference layout (F, T, n_harm) numpy
+    return np.asarray(jnp.transpose(out, (2, 1, 0))), fs_hcqt, hopsize_cqt
 
 
 def compute_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
@@ -153,7 +171,8 @@ def compute_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
 
 
 def hcqt(f_audio, **kwargs):
-    """Device-array convenience wrapper over :func:`compute_efficient_hcqt`,
-    returning the HCQT transposed to the model layout ``(n_harm, T, F)``."""
-    f, fs_hcqt, hop = compute_efficient_hcqt(f_audio, **kwargs)
-    return jnp.asarray(np.transpose(f, (2, 1, 0))), fs_hcqt, hop
+    """Device-array convenience wrapper: HCQT in the model layout
+    ``(n_harm, T, F)`` with no host roundtrip (tuning defaults to 0.0;
+    pass ``tuning=None``-style estimation via compute_efficient_hcqt)."""
+    kwargs.setdefault("tuning", 0.0)
+    return efficient_hcqt_device(f_audio, **kwargs)

@@ -94,6 +94,30 @@ def _matches(fn: str, versions: Sequence[str]) -> bool:
     return any(v in fn for v in versions)
 
 
+class _MultiCorpus:
+    """Union of corpora with per-corpus train/val strides (the Exp4
+    big-mix setup, configs.BIGMIX_STRIDES). Member corpora must have
+    disjoint file names."""
+
+    def __init__(self, members):
+        # members: list of (corpus, train_stride, val_stride)
+        self.members = members
+        self._index = {}
+        for corpus, ts, vs in members:
+            for fn in corpus.files():
+                self._index[fn] = (corpus, ts, vs)
+
+    def files(self) -> List[str]:
+        return sorted(self._index)
+
+    def load(self, fn: str):
+        return self._index[fn][0].load(fn)
+
+    def strides(self, fn: str) -> Tuple[int, int]:
+        _, ts, vs = self._index[fn]
+        return ts, vs
+
+
 def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                    logger: Optional[logging.Logger] = None,
                    do_train: bool = True, do_val: bool = True,
@@ -101,7 +125,14 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                    store_results_filewise: bool = True, mesh=None,
                    max_epochs_override: Optional[int] = None) -> Dict:
     """Run one experiment end to end. Returns a results dict with history
-    and per-subset metric aggregates."""
+    and per-subset metric aggregates.
+
+    ``corpus`` may be a single corpus (NpyCorpus/SyntheticCorpus) or a
+    list of ``(corpus, train_stride, val_stride)`` tuples for the Exp4
+    big-mix protocol.
+    """
+    if isinstance(corpus, (list, tuple)):
+        corpus = _MultiCorpus(list(corpus))
     logger = logger or _default_logger(cfg.name, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "models", cfg.name)
@@ -130,21 +161,26 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                 val_files.append(fn)
                 logger.info(" - file %s added to validation set.", fn)
 
-        def specs(fns):
+        def specs(fns, which):
             out = []
             for fn in fns:
                 inputs, targets = corpus.load(fn)
-                out.append(FileSpec(inputs, _slice_targets(targets, cfg)))
+                stride = None
+                if isinstance(corpus, _MultiCorpus):
+                    ts, vs = corpus.strides(fn)
+                    stride = ts if which == "train" else vs
+                out.append(FileSpec(inputs, _slice_targets(targets, cfg),
+                                    stride=stride))
             return out
 
-        train_p = TrainPipeline(specs(train_files), context=cfg.context,
+        train_p = TrainPipeline(specs(train_files, "train"), context=cfg.context,
                                 stride=cfg.train_stride, augment=cfg.augment,
                                 target_slice=None)
         logger.info("Training set & loader generated, length %d",
                     len(train_p))
         val_p = None
         if do_val and val_files:
-            val_p = TrainPipeline(specs(val_files), context=cfg.context,
+            val_p = TrainPipeline(specs(val_files, "val"), context=cfg.context,
                                   stride=cfg.val_stride, target_slice=None,
                                   compression=cfg.augment.compression)
             logger.info("Validation set & loader generated, length %d",

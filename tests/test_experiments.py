@@ -121,3 +121,43 @@ def test_end_to_end_smoke(tmp_path):
     assert (tmp_path / "results_filewise").exists()
     csvs = list((tmp_path / "results_filewise").glob("*.csv"))
     assert len(csvs) == 1
+
+
+def test_bigmix_multi_corpus_per_stride(tmp_path):
+    """Exp4-style multi-corpus runs: per-corpus train strides shape the
+    window counts (BIGMIX_STRIDES semantics)."""
+    from multipitch_architectures_tpu.data import (FileSpec, TrainPipeline,
+                                                   num_windows)
+
+    rng = np.random.RandomState(0)
+
+    def spec(t, stride):
+        return FileSpec(rng.rand(6, t, 216).astype(np.float32),
+                        (rng.rand(t, 72) > 0.9).astype(np.float32),
+                        stride=stride)
+
+    p = TrainPipeline([spec(400, 35), spec(400, 6)], context=75, stride=50,
+                      target_slice=None)
+    assert len(p) == num_windows(400, 75, 35) + num_windows(400, 75, 6)
+
+
+def test_multi_corpus_runner_smoke(tmp_path):
+    cfg = load_experiment("exp126a_musicnet_cnn_basic")
+    c1 = SyntheticCorpus(cfg, frames=250, n_train_files=1)
+    c2 = SyntheticCorpus(cfg, frames=250, n_train_files=1)
+
+    class Renamed:
+        def __init__(self, inner, prefix):
+            self.inner, self.prefix = inner, prefix
+
+        def files(self):
+            return [self.prefix + f for f in self.inner.files()]
+
+        def load(self, fn):
+            return self.inner.load(fn[len(self.prefix):])
+
+    results = run_experiment(
+        cfg, [(Renamed(c1, "corpusA_"), 35, 35), (Renamed(c2, "corpusB_"), 6, 4)],
+        str(tmp_path), max_epochs_override=1, do_test=False,
+        logger=logging.getLogger("smoke2"))
+    assert "history" in results
