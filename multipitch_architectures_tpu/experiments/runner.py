@@ -215,6 +215,11 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                     cfg.test_versions_small, 3920),
                    ("small test set (3 files), full",
                     cfg.test_versions_small, None)]
+        # RETRAIN4-style extra subsets (alternate MuN-10 variants / TRIOS;
+        # RETRAIN4_exp…py:247-253 loops 6 subsets)
+        for key, versions in cfg.extra_test_subsets.items():
+            if list(versions) != list(cfg.test_versions):
+                subsets.append((f"extra subset {key}", versions, None))
         results["subsets"] = []
         for subset_idx, (desc, versions, max_frames) in enumerate(subsets):
             if not versions:

@@ -1,7 +1,7 @@
 """Utilities: profiling/tracing, model summaries, plotting."""
 
-from .profiling import StepTimer, trace
+from .profiling import StepTimer, device_sync, trace
 from .summary import model_summary
 from .plot import plot_matrix
 
-__all__ = ["StepTimer", "trace", "model_summary", "plot_matrix"]
+__all__ = ["StepTimer", "device_sync", "trace", "model_summary", "plot_matrix"]

@@ -12,6 +12,7 @@ import time
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -24,9 +25,25 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def device_sync(value=None):
+    """Force completion of outstanding device work by FETCHING a scalar.
+
+    NB on relayed/tunneled backends (the axon TPU path in this image)
+    ``block_until_ready`` can return at enqueue time — a host fetch is the
+    only truthful synchronization. Pass a value derived from your
+    computation when possible."""
+    if value is None:
+        value = jnp.zeros(())
+    arr = jnp.asarray(value)
+    while arr.ndim:
+        arr = arr.reshape(-1)[0]
+    return float(arr)
+
+
 class StepTimer:
     """Collects per-step wall times (seconds). ``block=True`` syncs the
-    device so times measure completed work, not dispatch."""
+    device (via a host scalar fetch — see :func:`device_sync`) so times
+    measure completed work, not dispatch."""
 
     def __init__(self, block: bool = True):
         self.block = block
@@ -39,7 +56,7 @@ class StepTimer:
 
     def __exit__(self, *exc):
         if self.block:
-            (jax.device_put(0.0) + 0).block_until_ready()
+            device_sync()
         self.times.append(time.perf_counter() - self._t0)
         return False
 
@@ -50,7 +67,9 @@ class StepTimer:
             with self:
                 out = fn(*a, **k)
                 if self.block:
-                    jax.block_until_ready(out)
+                    leaves = jax.tree.leaves(out)
+                    if leaves:
+                        device_sync(jnp.sum(leaves[0]))
             return out
 
         return timed

@@ -57,3 +57,23 @@ def test_mesh_and_tp_specs():
     sharded = shard_params(params, mesh)
     k = sharded["attention1"]["mlp1"]["kernel"]
     assert k.sharding.spec == P(None, "model")
+
+
+def test_step_timer_and_summary():
+    from multipitch_architectures_tpu.utils import StepTimer
+
+    t = StepTimer(block=False)
+    for _ in range(3):
+        with t:
+            pass
+    s = t.summary(warmup=1)
+    assert s["steps"] == 2 and s["mean_s"] >= 0
+
+
+def test_model_summary_counts():
+    from multipitch_architectures_tpu.models import BasicCnnSegmSigmoid
+    from multipitch_architectures_tpu.utils import model_summary
+
+    s = model_summary(BasicCnnSegmSigmoid(n_chan_layers=(20, 20, 10, 1),
+                                          n_bins_out=72))
+    assert "Total params: 48,255" in s
