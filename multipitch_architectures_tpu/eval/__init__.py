@@ -8,7 +8,7 @@ from .measures import (
     normalize_feature_sequence,
 )
 from .mireval import calculate_mpe_measures_mireval, midi_to_hz
-from .inference import predict_framewise, predict_dense
+from .inference import predict_framewise, predict_dense, predict_dense_chunked
 
 __all__ = [
     "calculate_single_measure",
@@ -19,4 +19,5 @@ __all__ = [
     "midi_to_hz",
     "predict_framewise",
     "predict_dense",
+    "predict_dense_chunked",
 ]

@@ -72,6 +72,47 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
     return np.concatenate(outs, axis=0)
 
 
+def predict_dense_chunked(apply_fn, variables, inputs, context=75,
+                          chunk=512, compression=10.0):
+    """Dense inference over overlapping chunks: each chunk spans
+    ``chunk + context - 1`` frames and contributes ``chunk`` framewise
+    predictions — i.e. the reference's windowed protocol generalized to
+    big windows (stride = window = ``chunk``), costing
+    ``(chunk+74)/chunk ≈ 1.15×`` dense work instead of the stride-1
+    protocol's 75×. Bounded compile size for arbitrarily long recordings
+    (the full-recording ``predict_dense`` compiles one conv per T).
+    """
+    x = jnp.asarray(inputs, jnp.float32)
+    if compression is not None:
+        x = jnp.log1p(compression * x)
+    t = x.shape[1]
+    xp = _pad_inputs(x, context)                    # (C, T+ctx, F)
+    n_chunks = -(-t // chunk)
+    # pad so every chunk slice is in range
+    need = (n_chunks - 1) * chunk + chunk + context
+    if xp.shape[1] < need:
+        xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1]), (0, 0)))
+    starts = np.arange(n_chunks) * chunk
+
+    y = _chunk_forward(apply_fn, variables, xp, jnp.asarray(starts),
+                       chunk, context)
+    y = np.asarray(y)[:, :chunk, :].reshape(-1, y.shape[-1])
+    return y[:t]
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "chunk", "context"))
+def _chunk_forward(apply_fn, variables, xp, starts, chunk, context):
+    def one(s):
+        return jax.lax.dynamic_slice(
+            xp, (0, s, 0), (xp.shape[0], chunk + context, xp.shape[2]))
+
+    segs = jax.vmap(one)(starts)                    # (N, C, chunk+ctx, F)
+    y = apply_fn(variables, segs)
+    if isinstance(y, tuple):
+        y = y[0]
+    return y.reshape(y.shape[0], y.shape[2], -1)    # (N, chunk+1, bins)
+
+
 def predict_dense(apply_fn, variables, inputs, context=75, compression=10.0):
     """One-pass dense prediction for fully-convolutional-in-time models
     (basic/deep CNN family): feed the whole padded recording, get all T

@@ -183,6 +183,11 @@ def load_experiment(name: str, fix_val_split: bool = False,
         es_percentage=ep.get("percentage", False),
         loss=raw.get("loss", "bce"),
         max_train_batches=raw.get("max_train_batches"),
+        # the reference never calls model.eval() for validation, so its
+        # val losses (which drive checkpoint gating + LR plateau) see
+        # dropout and batch-mode BN (exp180d…py:340-352); replicate that
+        # for registry experiments (Trainer default is the sane False)
+        val_in_train_mode=True,
     )
 
     val_versions = list(raw.get("val_versions", []))

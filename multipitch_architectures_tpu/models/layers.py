@@ -221,7 +221,11 @@ class TransformerEncLayer(nn.Module):
         tokens = x.reshape(b, h * w, e)
 
         if self.pos_encoding == "sinusoidal":
-            pe = jnp.asarray(sinusoidal_positional_encoding(self.max_len, e))
+            # the sinusoidal table is analytic: extend past the reference's
+            # max_len=600 when dense whole-recording inference yields more
+            # tokens (identical values for the first 600 either way)
+            pe = jnp.asarray(sinusoidal_positional_encoding(
+                max(self.max_len, tokens.shape[1]), e))
             tokens = tokens + pe[: tokens.shape[1]]
             tokens = nn.Dropout(self.p_dropout)(tokens, deterministic=not train)
         elif self.pos_encoding == "learnable":

@@ -170,3 +170,24 @@ def test_dense_close_to_windowed_for_cnn():
     assert yd.shape == yw.shape == (160, 72)
     corr = np.corrcoef(yw.flatten(), yd.flatten())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_dense_chunked_matches_full_dense_away_from_chunk_edges():
+    """Chunked-dense equals full-dense except near chunk boundaries
+    (where per-chunk zero padding replaces true context)."""
+    from multipitch_architectures_tpu.eval import predict_dense_chunked
+
+    rng = np.random.RandomState(0)
+    inputs = rng.rand(6, 200, 216).astype(np.float32)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2), n_bins_out=72)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 6, 75, 216)), train=False)
+
+    def apply_fn(variables, x):
+        return model.apply(variables, x, train=False)
+
+    yd = predict_dense(apply_fn, v, inputs)
+    yc = predict_dense_chunked(apply_fn, v, inputs, chunk=100)
+    assert yc.shape == (200, 72)
+    # interior of first chunk (frames 0..60, away from the 100 boundary)
+    np.testing.assert_allclose(yc[:55], yd[:55], atol=2e-5)
