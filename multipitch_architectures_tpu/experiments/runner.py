@@ -154,7 +154,14 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
     if do_train:
         train_files, val_files = [], []
         for fn in corpus.files():
-            if not _matches(fn, test_and_val + cfg.test_versions_small):
+            if cfg.train_versions:
+                # explicit train list (the Exp3 Schubert splits,
+                # exp201b…py:252); else complement of test+val (Exp1/2/4)
+                is_train = _matches(fn, cfg.train_versions)
+            else:
+                is_train = not _matches(
+                    fn, test_and_val + cfg.test_versions_small)
+            if is_train:
                 train_files.append(fn)
                 logger.info(" - file %s added to training set.", fn)
             elif do_val and _matches(fn, cfg.val_versions):

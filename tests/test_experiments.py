@@ -161,3 +161,32 @@ def test_multi_corpus_runner_smoke(tmp_path):
         str(tmp_path), max_epochs_override=1, do_test=False,
         logger=logging.getLogger("smoke2"))
     assert "history" in results
+
+
+def test_runner_honors_explicit_train_versions(tmp_path):
+    """Exp3-style explicit train lists: only matching files train."""
+    import dataclasses
+
+    cfg = load_experiment(
+        "exp201b_schubert_songsplit_unet_extremelylarge_doubleselfattn")
+    assert cfg.train_versions[:2] == ["D911-01", "D911-02"]
+
+    class SWDCorpus:
+        def files(self):
+            return [f"SWD_{v}_HU33.npy" for v in
+                    ("D911-01", "D911-14", "D911-17", "D911-24")]
+
+        def load(self, fn):
+            rng = np.random.RandomState(0)
+            return (rng.rand(6, 250, 216).astype(np.float32),
+                    (rng.rand(250, 128) > 0.93).astype(np.float32))
+
+    small = dataclasses.replace(
+        cfg, model_kwargs={**cfg.model_kwargs, "n_chan_layers": [8, 8, 4, 2],
+                           "scalefac": 16, "embed_dim": 32, "mlp_dim": 64},
+        train_config=dataclasses.replace(cfg.train_config, batch_size=3))
+    results = run_experiment(small, SWDCorpus(), str(tmp_path),
+                             max_epochs_override=1, do_test=False,
+                             logger=logging.getLogger("swd"))
+    log = (tmp_path / "logs").glob("*.txt")
+    assert "history" in results
