@@ -139,6 +139,13 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
     results: Dict = {"name": cfg.name}
 
     model = cfg.build_model()
+    try:
+        from ..utils import model_summary
+
+        logger.info("%s", model_summary(model,
+                                        (1, 6, 174, 216)))
+    except Exception:   # pragma: no cover - summary is best-effort
+        pass
     tcfg = cfg.train_config
     if max_epochs_override is not None:
         import dataclasses
