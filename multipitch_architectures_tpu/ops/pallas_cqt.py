@@ -30,22 +30,25 @@ def _octave_kernel(y_hbm, kr_ref, out_ref, *, tile_t, hop, n_fft, bpo):
     i = pl.program_id(0)
     slab_len = (tile_t - 1) * hop + n_fft
 
-    def body(slab_vmem, sem):
+    def body(slab_vmem, frames_vmem, sem):
         dma = pltpu.make_async_copy(
             y_hbm.at[pl.ds(i * tile_t * hop, slab_len)], slab_vmem, sem)
         dma.start()
         dma.wait()
-        slab = slab_vmem[:]
-        frames = jnp.stack(
-            [jax.lax.dynamic_slice(slab, (t * hop,), (n_fft,))
-             for t in range(tile_t)])
-        ri = jnp.dot(frames, kr_ref[:], preferred_element_type=jnp.float32)
+        # build the (tile_t, n_fft) frame matrix row by row with static
+        # slices into a VMEM scratch (Mosaic lowers neither dynamic_slice
+        # nor a big stack-of-slices concat)
+        for t in range(tile_t):
+            frames_vmem[t, :] = slab_vmem[t * hop: t * hop + n_fft]
+        ri = jnp.dot(frames_vmem[:], kr_ref[:],
+                     preferred_element_type=jnp.float32)
         re, im = ri[:, :bpo], ri[:, bpo:]
         out_ref[:] = jnp.sqrt(re * re + im * im + 1e-30)
 
     pl.run_scoped(
         body,
         pltpu.VMEM((slab_len,), jnp.float32),
+        pltpu.VMEM((tile_t, n_fft), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     )
 

@@ -207,14 +207,22 @@ class Trainer:
 
     def _shard(self, x, y):
         """Pad the batch to a multiple of the mesh size, build loss
-        weights, and place shards."""
+        weights, and place shards.
+
+        Padding REPLICATES leading samples (wrap-around) rather than
+        zero-filling: padded samples carry zero loss weight either way,
+        but batch-coupled computations (train-mode BatchNorm statistics,
+        the reference's cross-batch attention quirk) then see real data
+        instead of zeros. For batch-decoupled models the computed loss is
+        exactly the unpadded mean (tests/test_parallel.py)."""
         n = x.shape[0]
         d = self.mesh.devices.size
         pad = (-n) % d
         w = np.ones(n + pad, np.float32)
         if pad:
-            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-            y = jnp.pad(y, ((0, pad),) + ((0, 0),) * (y.ndim - 1))
+            reps = -(-(n + pad) // n)
+            x = jnp.concatenate([x] * reps, axis=0)[:n + pad]
+            y = jnp.concatenate([y] * reps, axis=0)[:n + pad]
             w[n:] = 0.0
         sharding = NamedSharding(self.mesh, P("data"))
         return (jax.device_put(x, sharding), jax.device_put(y, sharding),

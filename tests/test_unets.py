@@ -253,3 +253,32 @@ def test_train_mode_runs_with_dropout_and_bn():
         mutable=["batch_stats"])
     assert y.shape == (2, 1, 1, 72)
     assert "batch_stats" in updates
+
+
+def test_transenc_forward_parity():
+    """simple_u_net_doubleselfattn_transenc: parity modulo the reference's
+    stray 5-D unsqueeze (unet_cnns.py:1525) — we compare squeezed."""
+    ref = reference_models()
+    if ref is None:
+        pytest.skip("reference torch models unavailable")
+    import torch
+
+    kw = dict(n_chan_layers=[8, 4, 4, 2], n_bins_out=72, scalefac=8,
+              embed_dim=64, num_heads=8, mlp_dim=64, self_attn_depth=1,
+              self_attn_number=2, time_embed_dim=4 * 72)
+    torch.manual_seed(0)
+    with patched_torch_cpu():
+        tm = ref.simple_u_net_doubleselfattn_transenc(**kw)
+    tm.eval()
+    jm = M.SimpleUNetDoubleSelfAttnTransEnc(
+        **{k: (tuple(v) if isinstance(v, list) else v) for k, v in kw.items()})
+    x = np.random.RandomState(1).rand(2, 6, 75, 216).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    want = want.reshape(want.shape[0], -1, want.shape[-1])  # drop 5-D quirk
+    variables = jax.tree.map(jnp.asarray,
+                             port.port_unet_transenc(tm.state_dict()))
+    got = np.asarray(jm.apply(variables, jnp.asarray(x), train=False))
+    got = got.reshape(got.shape[0], -1, got.shape[-1])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-2)
