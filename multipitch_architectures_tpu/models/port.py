@@ -294,3 +294,132 @@ def port_freq_u_net_selfattn(sd, double=False):
     params["head"] = _pitch_head(sd, conv2="conv4.0", conv3="conv5.0",
                                  conv4="conv6.0", conv5="conv6.3")
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Reverse direction: flax variables -> torch state_dict
+# --------------------------------------------------------------------------
+
+def _inv_conv(params, p, out):
+    out[f"{p}.weight"] = np.asarray(params["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in params:
+        out[f"{p}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_dense(params, p, out):
+    out[f"{p}.weight"] = np.asarray(params["kernel"]).T
+    if "bias" in params:
+        out[f"{p}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_ln(params, p, out):
+    out[f"{p}.weight"] = np.asarray(params["scale"])
+    out[f"{p}.bias"] = np.asarray(params["bias"])
+
+
+def _inv_harmonic_ln(params, p, out):
+    out[f"{p}.weight"] = np.asarray(params["scale"]).T
+    out[f"{p}.bias"] = np.asarray(params["bias"]).T
+
+
+def _inv_bn(params, stats, p, out):
+    out[f"{p}.weight"] = np.asarray(params["scale"])
+    out[f"{p}.bias"] = np.asarray(params["bias"])
+    out[f"{p}.running_mean"] = np.asarray(stats["mean"])
+    out[f"{p}.running_var"] = np.asarray(stats["var"])
+    out[f"{p}.num_batches_tracked"] = np.asarray(0)
+
+
+def _inv_mha(params, p, out):
+    out[f"{p}.in_proj_weight"] = np.asarray(params["in_proj_weight"])
+    out[f"{p}.in_proj_bias"] = np.asarray(params["in_proj_bias"])
+    out[f"{p}.out_proj.weight"] = np.asarray(params["out_proj_weight"])
+    out[f"{p}.out_proj.bias"] = np.asarray(params["out_proj_bias"])
+
+
+def _inv_transformer_enc(params, p, out):
+    for name in ("q_linear", "k_linear", "v_linear", "o_linear"):
+        _inv_dense(params[name], f"{p}.{name}", out)
+    _inv_mha(params["attn"], f"{p}.attn", out)
+    _inv_dense(params["mlp1"], f"{p}.mlp.0", out)
+    _inv_dense(params["mlp2"], f"{p}.mlp.2", out)
+    _inv_ln(params["layernorm1"], f"{p}.layernorm1", out)
+    _inv_ln(params["layernorm2"], f"{p}.layernorm2", out)
+    if "pe" in params:
+        out[f"{p}.pe"] = np.asarray(params["pe"])
+
+
+def _inv_double_conv(params, stats, p, out, convdrop=0.0, alt_order=False):
+    """Inverse of _double_conv for the three torch Sequential layouts."""
+    q = f"{p}.double_conv"
+    if alt_order:
+        _inv_bn(params["bn1"], stats["bn1"], f"{q}.1", out)
+        _inv_conv(params["conv1"], f"{q}.3", out)
+        _inv_bn(params["bn2"], stats["bn2"], f"{q}.5", out)
+        _inv_conv(params["conv2"], f"{q}.7", out)
+    elif convdrop is None:
+        _inv_conv(params["conv1"], f"{q}.0", out)
+        _inv_bn(params["bn1"], stats["bn1"], f"{q}.1", out)
+        _inv_conv(params["conv2"], f"{q}.3", out)
+        _inv_bn(params["bn2"], stats["bn2"], f"{q}.4", out)
+    else:
+        _inv_conv(params["conv1"], f"{q}.0", out)
+        _inv_bn(params["bn1"], stats["bn1"], f"{q}.1", out)
+        _inv_conv(params["conv2"], f"{q}.4", out)
+        _inv_bn(params["bn2"], stats["bn2"], f"{q}.5", out)
+    if "resize" in params:
+        _inv_conv(params["resize"], f"{p}.resize", out)
+
+
+def export_state_dict(variables, convdrop=0.0, alt_order=False):
+    """flax variables -> torch-layout state_dict (numpy values) for any
+    model built by this package's porters (the reverse migration path:
+    train on TPU, export to the reference's torch classes).
+
+    The module tree is discovered from the parameter structure (same
+    naming scheme the forward porters consume)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out = {}
+    for name, sub in params.items():
+        if name == "layernorm":
+            _inv_harmonic_ln(sub["ln"], "layernorm", out)
+        elif name == "head":
+            _inv_conv(sub["conv2"]["conv"], "conv2.0", out)
+            _inv_conv(sub["conv3"]["conv"], "conv3.0", out)
+            _inv_conv(sub["conv4"]["conv"], "conv4.0", out)
+            _inv_conv(sub["conv5"], "conv4.3", out)
+        elif name == "trunk":
+            _inv_harmonic_ln(sub["layernorm"]["ln"], "layernorm", out)
+            _inv_conv(sub["conv1"]["conv"], "conv1.0", out)
+        elif name.startswith("prefilt"):
+            idx = name[len("prefilt"):]
+            _inv_conv(sub["conv"], f"prefilt_list.{idx}.0", out)
+        elif name == "inc":
+            _inv_double_conv(sub, stats.get("inc", {}), "inc", out,
+                             convdrop, alt_order)
+        elif name.startswith("down"):
+            _inv_double_conv(sub, stats.get(name, {}), f"{name}.1", out,
+                             convdrop, alt_order)
+        elif name.startswith("upconv"):
+            _inv_double_conv(sub, stats.get(name, {}), name, out,
+                             convdrop, alt_order)
+        elif name.startswith("attention"):
+            _inv_transformer_enc(sub, name, out)
+        elif name.startswith("lstm"):
+            for k, v in sub["blstm"].items():
+                out[f"{name}.blstm.{k}"] = np.asarray(v)
+        elif name == "convP1":
+            _inv_conv(sub, "convP.0", out)
+        elif name == "convP2":
+            _inv_conv(sub, "convP.4", out)
+        elif name in ("conv1", "conv2", "conv3", "conv4"):
+            _inv_conv(sub["conv"], f"{name}.0", out)
+        elif name == "conv5":
+            _inv_conv(sub, "conv4.3", out)
+        elif name in ("conv5a", "conv5b", "reduction", "conv3b"):
+            _inv_conv(sub, name if name not in ("reduction",)
+                      else "reduction.0", out)
+        else:
+            raise KeyError(f"export_state_dict: unknown module {name!r}")
+    return out

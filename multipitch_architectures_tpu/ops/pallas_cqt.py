@@ -26,9 +26,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _align_up(x, m):
+    return -(-x // m) * m
+
+
 def _octave_kernel(y_hbm, kr_ref, out_ref, *, tile_t, hop, n_fft, bpo):
     i = pl.program_id(0)
-    slab_len = (tile_t - 1) * hop + n_fft
+    # Mosaic requires 1-D HBM slice lengths (and starts) aligned to the
+    # 1024-element tiling; tile_t is chosen so tile_t*hop % 1024 == 0
+    slab_len = _align_up((tile_t - 1) * hop + n_fft, 1024)
 
     def body(slab_vmem, frames_vmem, sem):
         dma = pltpu.make_async_copy(
@@ -53,6 +59,14 @@ def _octave_kernel(y_hbm, kr_ref, out_ref, *, tile_t, hop, n_fft, bpo):
     )
 
 
+def _choose_tile_t(tile_t, hop):
+    """Smallest tile ≥ tile_t with tile_t*hop a multiple of 1024 (hop is a
+    power of two), so every DMA start offset is tiling-aligned."""
+    while (tile_t * hop) % 1024 != 0:
+        tile_t *= 2
+    return tile_t
+
+
 @partial(jax.jit,
          static_argnames=("hop", "n_fft", "bpo", "n_frames", "tile_t",
                           "interpret"))
@@ -67,9 +81,11 @@ def cqt_octave_pallas(y_padded, kr, hop: int, n_fft: int, bpo: int,
         n_frames: number of output frames (static).
     Returns: (n_frames, bpo) float32 magnitudes.
     """
+    tile_t = _choose_tile_t(tile_t, hop)
     n_tiles = -(-n_frames // tile_t)
-    # ensure the last tile's slab stays in bounds
-    need = (n_tiles * tile_t - 1) * hop + n_fft
+    # ensure the last tile's (aligned) slab stays in bounds
+    need = (n_tiles - 1) * tile_t * hop + _align_up(
+        (tile_t - 1) * hop + n_fft, 1024)
     if y_padded.shape[0] < need:
         y_padded = jnp.pad(y_padded, (0, need - y_padded.shape[0]))
 

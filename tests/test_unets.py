@@ -282,3 +282,41 @@ def test_transenc_forward_parity():
     got = got.reshape(got.shape[0], -1, got.shape[-1])
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-2)
+
+
+def test_export_state_dict_roundtrip():
+    """flax -> torch state_dict -> flax roundtrip is exact, and the
+    exported dict loads into the reference torch model."""
+    ref = reference_models()
+    if ref is None:
+        pytest.skip("reference torch models unavailable")
+    import torch
+
+    kw = dict(n_chan_layers=[8, 8, 4, 2], n_bins_out=72, scalefac=16,
+              embed_dim=32, num_heads=8, mlp_dim=64,
+              pos_encoding="sinusoidal")
+    jm = M.SimpleUNetDoubleSelfAttn(
+        **{k: (tuple(v) if isinstance(v, list) else v) for k, v in kw.items()})
+    variables = jm.init({"params": jax.random.PRNGKey(3)},
+                        jnp.zeros((1, 6, 75, 216)), train=False)
+    sd = port.export_state_dict(variables)
+    back = port.port_unet_auto(sd)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(variables)[0],
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(back)[0],
+                   key=lambda t: str(t[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # the exported dict must load into the actual torch class
+    with patched_torch_cpu():
+        tm = ref.simple_u_net_doubleselfattn(**kw)
+    tm.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()})
+    tm.eval()
+    x = np.random.RandomState(5).rand(2, 6, 75, 216).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(jm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-2)
