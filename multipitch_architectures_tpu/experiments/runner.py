@@ -235,6 +235,15 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
             if list(versions) != list(cfg.test_versions):
                 subsets.append((f"extra subset {key}", versions, None))
         results["subsets"] = []
+        # Exp4 big-mix: per-dataset aggregation before the overall one
+        # (exp210d_bigmix…py:615-626 keeps ds_* accumulators per corpus)
+        if isinstance(corpus, _MultiCorpus) and cfg.test_versions:
+            for ci, (member, _, _) in enumerate(corpus.members):
+                agg = _test_subset(
+                    cfg, member, cfg.test_versions, None, apply_fn,
+                    variables, logger, f"test dataset #{ci}", None)
+                if agg["n_files"]:
+                    results["subsets"].append(agg)
         for subset_idx, (desc, versions, max_frames) in enumerate(subsets):
             if not versions:
                 continue
