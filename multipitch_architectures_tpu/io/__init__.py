@@ -1,5 +1,6 @@
 """Host IO: native (C++) mmap npy loader with prefetch."""
 
-from .native_loader import NativeWindowLoader, build_native_library
+from .native_loader import (NativeWindowLoader, build_native_library,
+                            trainer_batches)
 
-__all__ = ["NativeWindowLoader", "build_native_library"]
+__all__ = ["NativeWindowLoader", "build_native_library", "trainer_batches"]

@@ -133,3 +133,16 @@ class NativeWindowLoader:
                 self._ds = None
         except Exception:
             pass
+
+
+def trainer_batches(loader: "NativeWindowLoader", batch_size: int,
+                    shuffle: bool = True, seed: int = 0,
+                    compression: float = 10.0):
+    """Adapt native-loader batches to the Trainer's (x, y) convention:
+    X log-compressed (B, C, ctx, F) and y (B, 1, 1, n_bins) device-ready
+    numpy arrays. (Augmentation-free path: augment on device with
+    data.augment if needed.)"""
+    for x, y in loader.batches(batch_size, shuffle=shuffle, seed=seed):
+        if compression is not None:
+            x = np.log1p(compression * x)
+        yield x, y[:, None, None, :]

@@ -71,3 +71,24 @@ def test_rejects_bad_file(tmp_path, corpus):
         f.write(b"not an npy file")
     with pytest.raises(IOError):
         NativeWindowLoader([(bad, pairs[0][1])])
+
+
+def test_trainer_batches_feed_trainer(corpus):
+    """Native-loader batches drive a real train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from multipitch_architectures_tpu.io import trainer_batches
+    from multipitch_architectures_tpu.models import BasicCnnSegmSigmoid
+    from multipitch_architectures_tpu.train import Trainer, TrainConfig
+
+    pairs, _ = corpus
+    ld = NativeWindowLoader(pairs, context=75, stride=50)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    tr = Trainer(model, TrainConfig(batch_size=4, loss="bce"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    x, y = next(trainer_batches(ld, 4, seed=0))
+    assert x.shape == (4, 6, 75, 216) and y.shape == (4, 1, 1, 72)
+    xs, ys, ws = tr._shard(jnp.asarray(x), jnp.asarray(y))
+    state, loss = tr._train_step(state, xs, ys, ws, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
