@@ -9,8 +9,6 @@ path is :class:`multipitch_architectures_tpu.data.TrainPipeline`; these
 classes exist for API parity and for host-side verification.
 """
 
-from typing import Optional
-
 import numpy as np
 
 from .augment import _EQ_OFFSETS

@@ -15,7 +15,7 @@ DataLoader(num_workers=16)`` (exp180d…py:281-288) with a TPU-native design:
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -22,8 +22,6 @@ per-call compute path is pure jnp and jittable with static plan.
 import math
 from dataclasses import dataclass, field
 from functools import lru_cache, partial
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import ConvBlock, HarmonicLayerNorm, PitchHead, max_pool2d
+from .layers import ConvBlock, HarmonicLayerNorm, PitchHead
 
 
 def _to_nhwc(x):

@@ -28,6 +28,7 @@ import flax.linen as nn
 
 from .layers import (
     BLSTMTemporalEncLayer,
+    ConvBlock,
     DoubleConv,
     HarmonicLayerNorm,
     PitchHead,
@@ -558,8 +559,6 @@ class SimpleUNetDoubleSelfAttnTransEnc(_SimpleUNetCommon):
                        _pad(dec[3]["k"]), name="upconv4")(h, train)
 
         # conv2 of the standard head (binning to 72 pitch bins)
-        from .layers import ConvBlock
-
         h = ConvBlock(self.n_chan_layers[1], (3, 3), stride=(1, 3),
                       padding=(1, 0), a_lrelu=self.a_lrelu,
                       p_dropout=self.p_dropout, pool_kernel=(13, 1),

@@ -26,7 +26,6 @@ with one implementation, TPU-first:
 """
 
 import logging
-import math
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Optional, Tuple
