@@ -10,6 +10,8 @@ from .configs import (
     BIGMIX_STRIDES,
 )
 from .runner import run_experiment, SyntheticCorpus, NpyCorpus
+from .splits import (apply_split_to_config, load_split, split_datasets,
+                     split_filenames)
 
 __all__ = [
     "ExperimentConfig",
@@ -21,4 +23,8 @@ __all__ = [
     "run_experiment",
     "SyntheticCorpus",
     "NpyCorpus",
+    "apply_split_to_config",
+    "load_split",
+    "split_datasets",
+    "split_filenames",
 ]

@@ -190,3 +190,22 @@ def test_runner_honors_explicit_train_versions(tmp_path):
                              logger=logging.getLogger("swd"))
     log = (tmp_path / "logs").glob("*.txt")
     assert "history" in results
+
+
+def test_split_json_loader():
+    from multipitch_architectures_tpu.experiments import (
+        apply_split_to_config, split_datasets, split_filenames)
+
+    path = "/root/reference/dataset_splits/test_MuN-10.json"
+    if not os.path.exists(path):
+        pytest.skip("reference splits unavailable")
+    train = split_filenames(path, "train")
+    test = split_filenames(path, "test")
+    assert len(train) == 293 and len(test) == 10
+    cfg = load_experiment("exp126a_musicnet_cnn_basic")
+    cfg2 = apply_split_to_config(cfg, path)
+    assert len(cfg2.test_versions) == 10
+    bigmix = "/root/reference/dataset_splits/big_mixed_dataset.json"
+    if os.path.exists(bigmix):
+        names = split_datasets(bigmix)
+        assert "MusicNet" in names and len(names) >= 4
