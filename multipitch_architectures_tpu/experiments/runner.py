@@ -205,7 +205,8 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
         state, history = trainer.fit(
             lambda epoch, key: train_p.batches(key, tcfg.batch_size),
             (lambda epoch, key: val_p.batches(key, cfg.val_batch_size,
-                                              shuffle=False))
+                                              shuffle=False,
+                                              drop_remainder=False))
             if val_p else None,
             state=state, checkpoint_dir=ckpt_dir)
         results["history"] = history

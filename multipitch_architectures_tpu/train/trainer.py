@@ -279,7 +279,8 @@ class Trainer:
                                            cfg.val_in_train_mode, kstep)
                     vaccum += float(loss)
                     vn += 1
-                val_loss = vaccum / max(vn, 1)
+                # an empty val iterator must not masquerade as perfect loss
+                val_loss = vaccum / vn if vn else None
 
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)

@@ -185,3 +185,17 @@ def test_trainer_early_stops_on_plateau():
                          lambda e, k: val_p.batches(k, 5, shuffle=False),
                          state=state)
     assert len(hist["train_loss"]) <= 5  # stopped long before 50
+
+
+def test_empty_val_iterator_reports_none_not_zero():
+    """A val set smaller than the val batch size must not report val loss
+    0.0 (which would gate checkpoints on a fake perfect metric)."""
+    train_p, _ = _toy_pipelines(t=600)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    cfg = TrainConfig(max_epochs=1, batch_size=5, loss="bce")
+    tr = Trainer(model, cfg, logger=logging.getLogger("test"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    state, hist = tr.fit(lambda e, k: train_p.batches(k, 5),
+                         lambda e, k: iter(()),  # empty val iterator
+                         state=state)
+    assert hist["val_loss"] == [None]
