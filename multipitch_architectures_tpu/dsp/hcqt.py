@@ -80,11 +80,19 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
                           bins_per_octave=60, num_octaves=6, num_harmonics=5,
                           num_subharmonics=1, center_bins=True,
                           tuning: Optional[float] = 0.0,
-                          use_pallas: bool = False):
+                          use_pallas: Optional[bool] = None):
     """Efficient HCQT with zero host roundtrips: the whole pipeline stays
     on device; returns (jnp (n_harm, T, F) in the model layout, fs_hcqt,
     hopsize). ``tuning`` must be a number here (estimation is a host-side
-    step; run :func:`estimate_tuning` separately if needed)."""
+    step; run :func:`estimate_tuning` separately if needed).
+
+    ``use_pallas=None`` auto-selects: the fused Pallas octave kernel on
+    TPU (bit-identical, ~30% faster than the XLA gather+matmul path,
+    measured on v5e), XLA elsewhere (the Pallas interpreter is slow)."""
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
     num_octaves_eff = num_octaves + int(
         np.ceil(np.log2(num_subharmonics + 1) + np.log2(num_harmonics)))
     hopsize_cqt, _ = compute_hopsize_cqt(fs_hcqt_target, fs=fs,
