@@ -64,11 +64,15 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
     outs = []
     for start in range(0, t, batch_size):
         n = min(batch_size, t - start)
-        centers = half + start + np.arange(batch_size)
-        centers = np.minimum(centers, half + t - 1)  # pad last batch
+        # the tail runs at its natural size (one extra compile) rather
+        # than padded with duplicate windows: under the reference's
+        # cross-batch attention quirk, batch composition changes the
+        # outputs of the REAL windows, so padding would break protocol
+        # exactness for the last batch
+        centers = half + start + np.arange(n)
         y = _window_forward(apply_fn, variables, xp,
                             jnp.asarray(centers), context)
-        outs.append(np.asarray(y[:n]))
+        outs.append(np.asarray(y))
     return np.concatenate(outs, axis=0)
 
 
