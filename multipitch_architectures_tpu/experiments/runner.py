@@ -77,7 +77,12 @@ class SyntheticCorpus:
         return names
 
     def load(self, fn: str):
-        rng = np.random.RandomState(abs(hash(fn)) % (2 ** 31))
+        # stable digest (zlib.crc32), NOT hash(): python string hashing is
+        # salted per process, which would make smoke runs irreproducible
+        import zlib
+
+        rng = np.random.RandomState(
+            (zlib.crc32(fn.encode()) + self.seed) % (2 ** 31))
         t = self.frames
         inputs = rng.rand(6, t, 216).astype(np.float32)
         targets = (rng.rand(t, 128) > 0.93).astype(np.float32)

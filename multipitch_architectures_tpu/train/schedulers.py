@@ -98,6 +98,27 @@ class NoamSchedule:
         self.__dict__.update(state)
 
 
+def noam_optax_schedule(model_size, warmup):
+    """Per-step optax schedule with the reference's exact step semantics
+    (libdl/schedulers/lr_schedulers.py:26-39): ``noam_opt`` starts at
+    ``_step = 1`` and increments BEFORE computing the rate, so the k-th
+    optimizer update (optax ``count = k-1``, 0-indexed) runs at
+    ``rate(k + 1)``.
+
+    jnp-traceable: usable directly as ``optax.adamw(learning_rate=...)``
+    so the warmup advances every optimizer step on device — no host
+    round-trip (unlike the epoch-level host schedulers)."""
+
+    def schedule(count):
+        import jax.numpy as jnp
+
+        step = count + 2.0  # optax count k-1 -> reference _step k+1
+        return (model_size ** -0.5
+                * jnp.minimum(step ** -0.5, step * warmup ** -1.5))
+
+    return schedule
+
+
 # reference-compatible alias (libdl.schedulers.noam_opt was an optimizer
 # wrapper; the schedule itself is what carries over)
 noam_opt = NoamSchedule

@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .losses import bce_loss, multitask_bce_ce_loss
 from .monitoring import EarlyStopping
 from .schedulers import NoamSchedule, ReduceLROnPlateau, \
-    polynomial_decay_lambda
+    noam_optax_schedule, polynomial_decay_lambda
 
 
 class TrainState(struct.PyTreeNode):
@@ -121,11 +121,25 @@ class Trainer:
         self.mesh = mesh or Mesh(np.array(jax.devices()), ("data",))
         self.logger = logger or logging.getLogger(__name__)
         self._loss = _loss_fn_for(config.loss)
-        self.tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=config.initial_lr, b1=config.betas[0],
-            b2=config.betas[1], eps=config.eps,
-            weight_decay=config.weight_decay)
-        self.lr = config.initial_lr
+        if config.scheduler == "Noam":
+            # per-STEP warmup (reference noam_opt.step wraps every
+            # optimizer.step, lr_schedulers.py:26-31) — an on-device optax
+            # schedule, not host epoch-level injection
+            sp = dict(config.scheduler_params)
+            self._noam = NoamSchedule(sp.get("model_size", 512),
+                                      sp.get("warmup", 4000))
+            self.tx = optax.adamw(
+                learning_rate=noam_optax_schedule(
+                    self._noam.model_size, self._noam.warmup),
+                b1=config.betas[0], b2=config.betas[1], eps=config.eps,
+                weight_decay=config.weight_decay)
+            self.lr = self._noam.rate(2)  # rate of the first update
+        else:
+            self.tx = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=config.initial_lr, b1=config.betas[0],
+                b2=config.betas[1], eps=config.eps,
+                weight_decay=config.weight_decay)
+            self.lr = config.initial_lr
         self._make_scheduler()
         self._replicated = NamedSharding(self.mesh, P())
 
@@ -146,8 +160,7 @@ class Trainer:
                 sp.get("n_decay", 20), sp.get("exp_decay", 0.5))
             self.scheduler = None
         elif cfg.scheduler == "Noam":
-            self.scheduler = NoamSchedule(sp.get("model_size", 512),
-                                          sp.get("warmup", 4000))
+            self.scheduler = None  # handled per-step inside optax
         else:
             self.scheduler = None
 
@@ -196,13 +209,18 @@ class Trainer:
 
     @partial(jax.jit, static_argnums=(0, 6))
     def _eval_step(self, params, batch_stats, x, y, w, train_mode, key):
+        """Returns (loss, batch_stats). Under ``train_mode`` (the
+        reference's val loop never calls model.eval(), exp180d…py:340-352)
+        every val forward ALSO advances the BatchNorm running statistics —
+        and those mutated stats are what the reference checkpoints and
+        uses at test time, so they are returned for the caller to keep."""
         if train_mode:
-            loss, _ = self._forward_loss(params, batch_stats, x, y, w, key,
-                                         train=True)
+            loss, new_stats = self._forward_loss(params, batch_stats, x, y,
+                                                 w, key, train=True)
         else:
-            loss, _ = self._forward_loss(params, batch_stats, x, y, w, key,
-                                         train=False)
-        return loss
+            loss, new_stats = self._forward_loss(params, batch_stats, x, y,
+                                                 w, key, train=False)
+        return loss, new_stats
 
     def _shard(self, x, y):
         """Pad the batch to a multiple of the mesh size, build loss
@@ -274,9 +292,11 @@ class Trainer:
                 for x, y in val_batches_fn(epoch, kval):
                     key, kstep = jax.random.split(key)
                     xs, ys, ws = self._shard(x, y)
-                    loss = self._eval_step(state.params, state.batch_stats,
-                                           xs, ys, ws,
-                                           cfg.val_in_train_mode, kstep)
+                    loss, new_stats = self._eval_step(
+                        state.params, state.batch_stats, xs, ys, ws,
+                        cfg.val_in_train_mode, kstep)
+                    if cfg.val_in_train_mode:
+                        state = state.replace(batch_stats=new_stats)
                     vaccum += float(loss)
                     vn += 1
                 # an empty val iterator must not masquerade as perfect loss
@@ -296,7 +316,10 @@ class Trainer:
                     "ReduceLROnPlateau":
                 self.lr = self.scheduler.step(metric)
             elif cfg.scheduler == "Noam":
-                self.lr = self.scheduler.step()
+                # logging only: the schedule itself lives inside optax;
+                # report the rate applied by the most recent update
+                # (reference noam_opt._rate, lr_schedulers.py:31)
+                self.lr = self._noam.rate(int(state.step) + 1)
 
             if es is not None:
                 if epoch == 0 or es.curr_is_better(metric):

@@ -104,6 +104,60 @@ def test_dataset_context_segm_matches_torch_reference_no_aug():
     np.testing.assert_allclose(oy, ty.numpy(), atol=1e-6)
 
 
+def test_dataset_context_segm_widetarget_matches_torch_reference():
+    """Byte parity with hcqt_datasets.py:338-385: fixed 500-frame HCQT
+    patch centered on a narrower target segment. Items are compared only
+    where the patch lies inside the file (negative start indices wrap in
+    both torch and numpy and are out-of-contract upstream too)."""
+    ref = reference_datasets()
+    if ref is None:
+        pytest.skip("reference unavailable")
+    import torch
+
+    from multipitch_architectures_tpu.data import \
+        dataset_context_segm_widetarget
+
+    x, y = toy_file(1200, 2)
+    params = {"context": 75, "seglength": 100, "stride": 50,
+              "compression": 10}
+    tds = ref.dataset_context_segm_widetarget(
+        torch.from_numpy(x), torch.from_numpy(y), params)
+    ours = dataset_context_segm_widetarget(x, y, params)
+    assert len(tds) == len(ours)
+    for i in (4, 8, 16):
+        tx, ty = tds[i]
+        ox, oy = ours[i]
+        assert ox.shape == (6, 574, 216)  # 500 + context-1
+        np.testing.assert_allclose(ox, tx.numpy(), atol=1e-6)
+        np.testing.assert_allclose(oy, ty.numpy(), atol=1e-6)
+
+
+def test_dataset_context_measuresegm_matches_torch_reference():
+    """Byte parity with hcqt_datasets.py:388-436: segments bounded by
+    musical measure positions (variable length)."""
+    ref = reference_datasets()
+    if ref is None:
+        pytest.skip("reference unavailable")
+    import torch
+
+    from multipitch_architectures_tpu.data import dataset_context_measuresegm
+
+    x, y = toy_file(1200, 3)
+    measures = np.arange(100, 1101, 60)  # 17 measure frame positions
+    params = {"context": 75, "seglength": 4, "stride": 2, "compression": 10}
+    tds = ref.dataset_context_measuresegm(
+        torch.from_numpy(x), torch.from_numpy(y),
+        torch.from_numpy(measures), params)
+    ours = dataset_context_measuresegm(x, y, measures, params)
+    assert len(tds) == len(ours) == 6
+    for i in (0, 1, len(ours) - 1):
+        tx, ty = tds[i]
+        ox, oy = ours[i]
+        assert oy.shape[2] == 240  # 4 measures of 60 frames
+        np.testing.assert_allclose(ox, tx.numpy(), atol=1e-6)
+        np.testing.assert_allclose(oy, ty.numpy(), atol=1e-6)
+
+
 def test_dataset_context_segm_pitch_slices_targets():
     ref = reference_datasets()
     x, y = toy_file()

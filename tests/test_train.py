@@ -94,6 +94,108 @@ def test_noam_rate():
     assert s.rate(4000) == pytest.approx(512 ** -0.5 * 4000 ** -0.5)
 
 
+def test_noam_optax_schedule_matches_reference_per_step():
+    """The reference noam_opt advances the rate on every optimizer.step()
+    (lr_schedulers.py:26-31, _step starts at 1 and increments BEFORE
+    computing the rate); the optax schedule must reproduce the exact
+    per-step rate sequence."""
+    import importlib.util
+
+    import torch
+
+    from multipitch_architectures_tpu.train.schedulers import \
+        noam_optax_schedule
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_lr", f"{REFERENCE_ROOT}/libdl/schedulers/lr_schedulers.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        pytest.skip("reference unavailable")
+
+    lin = torch.nn.Linear(2, 2)
+    ref = mod.noam_opt(256, 40, torch.optim.AdamW(lin.parameters(), lr=0.0))
+    sched = noam_optax_schedule(256, 40)
+    for count in range(120):  # crosses the warmup=40 knee
+        ref.step()
+        assert float(sched(count)) == pytest.approx(ref._rate, rel=1e-6), count
+
+
+def test_trainer_noam_advances_per_step():
+    """'Noam' must warm up per optimizer STEP (inside optax), not per
+    epoch — an epoch-granular Noam would be wrong by ~steps-per-epoch in
+    warmup horizon."""
+    train_p, _ = _toy_pipelines(t=900)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    cfg = TrainConfig(max_epochs=2, batch_size=5, loss="bce",
+                      scheduler="Noam",
+                      scheduler_params={"model_size": 64, "warmup": 10},
+                      early_stopping=False)
+    tr = Trainer(model, cfg, logger=logging.getLogger("test"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    state, hist = tr.fit(lambda e, k: train_p.batches(k, 5), None,
+                         state=state)
+    n_steps = int(state.step)
+    assert n_steps >= 4  # several optimizer steps ran
+    # the reported rate tracks the optimizer step count, not the epoch
+    assert tr.lr == pytest.approx(NoamSchedule(64, 10).rate(n_steps + 1))
+    assert hist["lr"][0] != hist["lr"][1]
+
+
+def test_val_in_train_mode_persists_bn_stats_matching_torch():
+    """The reference's val loop never calls model.eval()
+    (exp180d…py:340-352): every val forward ALSO advances the BatchNorm
+    running statistics, and those mutated stats are what get checkpointed
+    and used at test time. With ``val_in_train_mode=True`` the trainer
+    must persist the same stats torch would produce.
+
+    p_dropout=0 for determinism. torch stores the *unbiased* batch var in
+    running_var while flax stores the biased one — an O(1/n_elems)
+    difference covered by the tolerance."""
+    from conftest import reference_models
+
+    ref = reference_models()
+    if ref is None:
+        pytest.skip("reference torch models unavailable")
+    import torch
+
+    from multipitch_architectures_tpu.models import SimpleUNet, port
+
+    torch.manual_seed(0)
+    kw = dict(n_chan_layers=[8, 8, 4, 2], n_bins_out=72, scalefac=16,
+              p_dropout=0.0)
+    tm = ref.simple_u_net(**kw)
+    variables = jax.tree.map(jnp.asarray, port.port_unet_auto(tm.state_dict()))
+
+    model = SimpleUNet(**kw)
+    cfg = TrainConfig(max_epochs=1, batch_size=8, loss="bce",
+                      val_in_train_mode=True, early_stopping=False)
+    tr = Trainer(model, cfg, logger=logging.getLogger("test"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    before = [np.asarray(v) for v in jax.tree.leaves(state.batch_stats)]
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(8, 6, 75, 216).astype(np.float32)
+    y = (rng.rand(8, 1, 1, 72) > 0.9).astype(np.float32)
+    state, _ = tr.fit(lambda e, k: iter(()),  # no train batches
+                      lambda e, k: iter([(jnp.asarray(x), jnp.asarray(y))]),
+                      state=state)
+    after = [np.asarray(v) for v in jax.tree.leaves(state.batch_stats)]
+    assert any(np.abs(a - b).max() > 1e-6 for a, b in zip(before, after))
+
+    tm.train()
+    with torch.no_grad():
+        tm(torch.from_numpy(x))
+    want = port.port_unet_auto(tm.state_dict())["batch_stats"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=1e-5),
+        state.batch_stats, jax.tree.map(jnp.asarray, want))
+
+
 def test_bce_loss_matches_torch():
     import torch
 
