@@ -191,3 +191,55 @@ def test_dense_chunked_matches_full_dense_away_from_chunk_edges():
     assert yc.shape == (200, 72)
     # interior of first chunk (frames 0..60, away from the 100 boundary)
     np.testing.assert_allclose(yc[:55], yd[:55], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# mir_eval algorithm-path fuzz: production bin counting vs an independent
+# reimplementation of mir_eval.multipitch.evaluate's published pipeline
+# (Hz -> float MIDI -> 50-cent bipartite matching; tests/mireval_oracle.py)
+# ---------------------------------------------------------------------------
+
+def _roll_to_freqs(roll, min_pitch):
+    """The reference's exact conversion (eval_metrics.py:183-185)."""
+    return [midi_to_hz(min_pitch + np.flatnonzero(roll[k]))
+            for k in range(roll.shape[0])]
+
+
+@pytest.mark.parametrize("seed,density,frames", [
+    (0, 0.10, 60), (1, 0.03, 40), (2, 0.30, 25), (3, 0.70, 10),
+    (4, 0.0, 12),   # empty estimate frames
+    (5, 0.5, 1),    # single frame
+])
+def test_mireval_engine_matches_independent_oracle(seed, density, frames):
+    import mireval_oracle
+
+    rng = np.random.RandomState(seed)
+    targ = (rng.rand(frames, 72) > 0.9).astype(float)
+    est = (rng.rand(frames, 72) < density).astype(float)
+    min_pitch = 24
+    fs = 43.066406250
+    times = np.arange(frames) / fs
+    want = mireval_oracle.evaluate(
+        times, _roll_to_freqs(targ > 0, min_pitch),
+        times, _roll_to_freqs(est > 0, min_pitch))
+    got = calculate_mpe_measures_mireval(targ, est, threshold=0.5,
+                                         min_pitch=min_pitch)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_mireval_engine_matches_oracle_empty_reference():
+    import mireval_oracle
+
+    frames = 8
+    targ = np.zeros((frames, 72))
+    est = (np.random.RandomState(9).rand(frames, 72) < 0.2).astype(float)
+    times = np.arange(frames)
+    want = mireval_oracle.evaluate(
+        times, _roll_to_freqs(targ > 0, 24),
+        times, _roll_to_freqs(est > 0, 24))
+    got = calculate_mpe_measures_mireval(targ, est, threshold=0.5,
+                                         min_pitch=24)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
