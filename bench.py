@@ -29,7 +29,8 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 AUDIO_SECONDS = 60.0
 FS = 22050
-BATCH = 256
+BATCH = 250          # 5 reference test batches (50) fused per dispatch
+GROUP = 50           # the reference test DataLoader batch size
 TARGET_RT = 50.0
 HALF = 37
 
@@ -56,6 +57,12 @@ def main():
     cfg = load_experiment(
         "exp180e_musicnet_unet_insanelylarge_doubleselfattn")
     model = cfg.build_model()
+    # protocol-exact windowed variant: convs fused over BATCH windows per
+    # dispatch while attention stays block-diagonal in groups of 50 — the
+    # reference test loader's exact batch composition (exp180e…py:62-65)
+    import dataclasses
+
+    model_grouped = dataclasses.replace(model, attn_mode="cross_batch:50")
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 6, 75, 216), jnp.float32),
                            train=False)
@@ -68,10 +75,17 @@ def main():
         return jnp.pad(x, ((0, 0), (HALF, HALF + 1), (0, 0)))
 
     n_frames = int(len(audio) // 512) + 1
-    n_batches = -(-n_frames // BATCH)
+    n_full = (n_frames // BATCH) * BATCH
     centers_mat = jnp.asarray(
-        np.minimum(HALF + np.arange(n_batches * BATCH),
-                   HALF + n_frames - 1).reshape(n_batches, BATCH))
+        (HALF + np.arange(n_full)).reshape(n_full // BATCH, BATCH))
+    # protocol tail: remaining full 50-groups, then the natural-size
+    # remainder (its own short reference batch)
+    tail_chunks = []
+    start = n_full
+    while start < n_frames:
+        n = min(GROUP, n_frames - start)
+        tail_chunks.append(jnp.asarray(HALF + start + np.arange(n)))
+        start += n
 
     @jax.jit
     def dense_pipeline(variables, audio):
@@ -85,11 +99,23 @@ def main():
 
         def body(acc, centers):
             xw = gather_windows(xp, centers, 75)
-            y = model.apply(variables, xw, train=False)
+            y = model_grouped.apply(variables, xw, train=False)
             return acc + jnp.sum(y.astype(jnp.float32)), None
 
         total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                 centers_mat)
+        return total, xp
+
+    @jax.jit
+    def windowed_tail(variables, xp, centers):
+        xw = gather_windows(xp, centers, 75)
+        y = model_grouped.apply(variables, xw, train=False)
+        return jnp.sum(y.astype(jnp.float32))
+
+    def windowed_full(variables, audio):
+        total, xp = windowed_pipeline(variables, audio, centers_mat)
+        for c in tail_chunks:
+            total = total + windowed_tail(variables, xp, c)
         return total
 
     def timed_rt(fn, *args, reps=3):
@@ -114,8 +140,7 @@ def main():
     windowed_rt = None
     if time.perf_counter() - bench_start < budget_s * 0.5:
         try:
-            windowed_rt = timed_rt(windowed_pipeline, variables, audio_dev,
-                                   centers_mat)
+            windowed_rt = timed_rt(windowed_full, variables, audio_dev)
         except Exception:
             windowed_rt = None
 

@@ -43,7 +43,7 @@ def _window_forward(apply_fn, variables, inputs_padded, centers, context):
 
 
 def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
-                      compression=10.0):
+                      compression=10.0, group=None):
     """Per-frame predictions for a whole recording.
 
     Args:
@@ -51,8 +51,18 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
             outputs allowed; first element used).
         inputs: raw HCQT (6, T, 216) (uncompressed).
         compression: log-compression γ (None if inputs already compressed).
+        group: attention batch-group size ``g`` when the model was built
+            with ``attn_mode='cross_batch:<g>'``. ``batch_size`` must be a
+            multiple of ``g``; dispatches are then large fused batches
+            whose per-``g`` groups reproduce the reference's ``g``-sized
+            test batches exactly, and the tail splits into full groups
+            plus a natural-size remainder (its own reference batch).
 
     Returns: np.ndarray (T, n_bins).
+
+    Results are fetched to the host once at the end (a per-batch fetch
+    would synchronize every dispatch — expensive through a relayed TPU
+    backend).
     """
     x = jnp.asarray(inputs, jnp.float32)
     if compression is not None:
@@ -61,19 +71,29 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
     xp = _pad_inputs(x, context)
     half = context // 2
 
+    if group is not None and batch_size % group:
+        raise ValueError(f"batch_size {batch_size} not a multiple of "
+                         f"attention group {group}")
+
     outs = []
-    for start in range(0, t, batch_size):
+    start = 0
+    while start < t:
         n = min(batch_size, t - start)
         # the tail runs at its natural size (one extra compile) rather
         # than padded with duplicate windows: under the reference's
         # cross-batch attention quirk, batch composition changes the
         # outputs of the REAL windows, so padding would break protocol
-        # exactness for the last batch
+        # exactness for the last batch. With grouped attention the tail
+        # first drains its full groups, then the (< group) remainder runs
+        # alone — exactly the reference loader's final short batch.
+        if group is not None and n < batch_size and n > group:
+            n = (n // group) * group or n
         centers = half + start + np.arange(n)
         y = _window_forward(apply_fn, variables, xp,
                             jnp.asarray(centers), context)
-        outs.append(np.asarray(y))
-    return np.concatenate(outs, axis=0)
+        outs.append(y)
+        start += n
+    return np.concatenate([np.asarray(y) for y in outs], axis=0)
 
 
 def predict_dense_chunked(apply_fn, variables, inputs, context=75,

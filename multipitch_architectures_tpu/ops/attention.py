@@ -10,6 +10,13 @@ rather than across tokens. We expose both behaviors:
 - ``mode='cross_batch'``  — faithful to the reference as-published (default for
   parity configs). Predictions depend on batch composition, exactly as the
   reference's do.
+- ``mode='cross_batch:<g>'`` — block-diagonal variant: the batch is split
+  into consecutive groups of ``g`` samples and attention runs within each
+  group independently (the last-resort group size is the whole batch when
+  ``B < g``). A batch of ``k*g`` windows gives bit-for-bit the outputs of
+  ``k`` separate ``g``-sized reference batches — this is how the windowed
+  test protocol (DataLoader batch 50, exp180d…py:62-65) is fused into
+  large single dispatches on TPU without changing its semantics.
 - ``mode='tokens'``       — the intended semantics (attend over the flattened
   H*W token sequence within each sample); recommended for new training.
 
@@ -86,6 +93,25 @@ class TorchMultiheadAttention(nn.Module):
             q, k, v = (t.transpose(1, 0, 2) for t in (q, k, v))
             out = _attend(q, k, v, self.num_heads)
             out = out.transpose(1, 0, 2)
+        elif self.mode.startswith("cross_batch:"):
+            # block-diagonal: attend over the batch axis within consecutive
+            # groups of g samples (g = whole batch when B < g), at each
+            # fixed token position — k*g-sized batches reproduce k separate
+            # g-sized reference batches exactly
+            b, s, e_ = q.shape
+            g = min(int(self.mode.split(":", 1)[1]), b)
+            if b % g != 0:
+                raise ValueError(
+                    f"batch {b} not a multiple of attention group {g}")
+            ng = b // g
+
+            def regroup(t):  # (B,S,E) -> (ng*S, g, E)
+                return (t.reshape(ng, g, s, e_).transpose(0, 2, 1, 3)
+                        .reshape(ng * s, g, e_))
+
+            out = _attend(regroup(q), regroup(k), regroup(v), self.num_heads)
+            out = (out.reshape(ng, s, g, e_).transpose(0, 2, 1, 3)
+                   .reshape(b, s, e_))
         elif self.mode == "tokens":
             out = _attend(q, k, v, self.num_heads)
         else:

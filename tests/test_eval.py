@@ -243,3 +243,29 @@ def test_mireval_engine_matches_oracle_empty_reference():
                                          min_pitch=24)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_predict_framewise_grouped_matches_plain_protocol():
+    """predict_framewise with a 'cross_batch:50' model at batch 200 must
+    reproduce the plain model at protocol batch 50 (incl. a tail that is
+    neither a multiple of the batch nor of the group)."""
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    kw = dict(n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+              embed_dim=32, num_heads=8, mlp_dim=64,
+              pos_encoding="sinusoidal")
+    plain = SimpleUNetDoubleSelfAttn(**kw)
+    grouped = SimpleUNetDoubleSelfAttn(**kw, attn_mode="cross_batch:50")
+    variables = plain.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+
+    t_frames = 283  # 5 full batches of 50 + tail 33
+    inputs = np.random.RandomState(5).rand(6, t_frames, 216).astype(np.float32)
+
+    want = predict_framewise(
+        lambda v, xw: plain.apply(v, xw, train=False), variables, inputs,
+        batch_size=50)
+    got = predict_framewise(
+        lambda v, xw: grouped.apply(v, xw, train=False), variables, inputs,
+        batch_size=200, group=50)
+    np.testing.assert_allclose(got, want, atol=2e-5)

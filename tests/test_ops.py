@@ -77,3 +77,51 @@ def test_model_summary_counts():
     s = model_summary(BasicCnnSegmSigmoid(n_chan_layers=(20, 20, 10, 1),
                                           n_bins_out=72))
     assert "Total params: 48,255" in s
+
+
+# ---------------------------------------------------------------------------
+# grouped (block-diagonal) cross-batch attention
+# ---------------------------------------------------------------------------
+
+def test_grouped_cross_batch_attention_equals_separate_batches():
+    """mode='cross_batch:<g>' on a k*g batch must reproduce k separate
+    g-sized batches of plain cross_batch attention — the property that
+    lets the windowed test protocol run in large fused dispatches."""
+    from multipitch_architectures_tpu.ops.attention import \
+        TorchMultiheadAttention
+
+    e, s, g, k = 32, 7, 10, 3
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(k * g, s, e).astype(np.float32))
+
+    plain = TorchMultiheadAttention(embed_dim=e, num_heads=4,
+                                    mode="cross_batch")
+    grouped = TorchMultiheadAttention(embed_dim=e, num_heads=4,
+                                      mode=f"cross_batch:{g}")
+    variables = plain.init(jax.random.PRNGKey(0), x[:g], x[:g], x[:g])
+
+    want = np.concatenate([
+        np.asarray(plain.apply(variables, x[i * g:(i + 1) * g],
+                               x[i * g:(i + 1) * g], x[i * g:(i + 1) * g]))
+        for i in range(k)])
+    got = np.asarray(grouped.apply(variables, x, x, x))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_grouped_attention_small_batch_falls_back_to_whole_batch():
+    """A batch smaller than the group (the protocol's tail batch) attends
+    over the whole batch, exactly like plain cross_batch."""
+    from multipitch_architectures_tpu.ops.attention import \
+        TorchMultiheadAttention
+
+    e, s, b = 16, 5, 7
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, s, e).astype(np.float32))
+    plain = TorchMultiheadAttention(embed_dim=e, num_heads=4,
+                                    mode="cross_batch")
+    grouped = TorchMultiheadAttention(embed_dim=e, num_heads=4,
+                                      mode="cross_batch:50")
+    variables = plain.init(jax.random.PRNGKey(0), x, x, x)
+    np.testing.assert_allclose(
+        np.asarray(grouped.apply(variables, x, x, x)),
+        np.asarray(plain.apply(variables, x, x, x)), atol=1e-6)
