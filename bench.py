@@ -2,15 +2,29 @@
 """Benchmark: real-time factor of HCQT + SAUnet:XL inference on one chip.
 
 Measures the full audio→prediction pipeline (matches the BASELINE.json
-north star "≥50x real-time HCQT+SAUnet:XL inference per v5e chip"):
+north star "≥50x real-time HCQT+SAUnet:XL inference per v5e chip with
+F-measure within 1e-3"):
 
   1. synthesize AUDIO_SECONDS of 22.05 kHz audio;
   2. efficient 6-channel HCQT on device (multirate matmul CQT);
   3. SAUnet:XL (exp180e config, random weights — timing only) over every
-     frame, in the framework's serving mode: ONE dense pass over the
-     whole padded recording (the TPU-native redesign of the reference's
-     75x-redundant stride-1 window loop). The protocol-exact windowed
-     mode is timed too and reported alongside.
+     frame.
+
+HEADLINE = the protocol-exact windowed mode (stride-1 windows, the
+reference DataLoader's batch-50 attention composition, natural-size tail
+batches), because it is the only mode that meets the F-gate for
+cross-batch-attention checkpoints: a TRAINED SAUnet collapses under
+dense inference (F 0.95→0.11, perf/dense_fparity_experiment.py) since
+its attention was trained on batch-of-50-window token sets — and even
+the attention-free U-Net drops to F 0.41 (window-geometry-dependent
+pooling/up-concat/align_corners). The dense single-pass mode is
+reported alongside; it is a serving mode for the plain CNN family only
+(worst trained-model measure delta 2.6e-3,
+perf/dense_fparity_conv_families.py).
+
+The windowed mode fuses 250 windows per dispatch with block-diagonal
+grouped attention ('cross_batch:50'), which reproduces the reference
+batches exactly — see ops/attention.py.
 
 Timing is honest for relayed backends: each pipeline is ONE jitted
 executable ending in a checksum whose value is fetched to the host
@@ -131,29 +145,74 @@ def main():
     import os
 
     bench_start = time.perf_counter()
-    dense_rt = timed_rt(dense_pipeline, variables, audio_dev)
+    windowed_rt = timed_rt(windowed_full, variables, audio_dev)
 
-    # the secondary (protocol-exact stride-1) measurement compiles a
-    # second large executable; skip it when close to the time budget so
-    # the primary line always prints (cached runs easily fit)
+    # the secondary (dense serving-mode) measurement compiles a second
+    # large executable; skip it when close to the time budget so the
+    # primary line always prints (cached runs easily fit)
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    windowed_rt = None
+    dense_rt = None
     if time.perf_counter() - bench_start < budget_s * 0.5:
         try:
-            windowed_rt = timed_rt(windowed_full, variables, audio_dev)
+            dense_rt = timed_rt(dense_pipeline, variables, audio_dev)
         except Exception:
-            windowed_rt = None
+            dense_rt = None
 
     out = {
-        "metric": "hcqt_saunet_xl_dense_inference_realtime_factor",
-        "value": round(dense_rt, 1),
+        "metric": "hcqt_saunet_xl_windowed_protocol_realtime_factor",
+        "value": round(windowed_rt, 1),
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(dense_rt / TARGET_RT, 3),
+        "vs_baseline": round(windowed_rt / TARGET_RT, 3),
     }
-    if windowed_rt is not None:
-        out["windowed_protocol_rt"] = round(windowed_rt, 1)
-        out["windowed_vs_50x_target"] = round(windowed_rt / TARGET_RT, 3)
+    if dense_rt is not None:
+        # F-gate-compliant for the plain CNN family only (see module
+        # docstring); U-Nets and attention models must use windowed
+        out["dense_serving_rt_cnn_family_only"] = round(dense_rt, 1)
+
+    # multi-chip DP scaling evidence: only when real chips allow it
+    # (single-chip anchor: SAUnet:L train step bs=25 = 114.9 ms, ROADMAP).
+    if len(jax.devices()) > 1 and \
+            time.perf_counter() - bench_start < budget_s * 0.75:
+        try:
+            out["dp_train_step_ms"] = _dp_step_scaling(jax)
+        except Exception:
+            pass
     print(json.dumps(out))
+
+
+def _dp_step_scaling(jax):
+    """Train-step time per mesh size {1, N} on real chips: SAUnet:L
+    (exp180d config), global batch 25 per chip — reports ms/step so the
+    scaling efficiency is step_ms[1]/step_ms[N] (ideal: ~1.0 at constant
+    per-chip batch)."""
+    import jax.numpy as jnp
+
+    from multipitch_architectures_tpu.experiments import load_experiment
+    from multipitch_architectures_tpu.parallel import make_mesh
+    from multipitch_architectures_tpu.train import Trainer, TrainConfig
+
+    cfg = load_experiment("exp180d_musicnet_unet_extremelylarge_doubleselfattn")
+    model = cfg.build_model()
+    result = {}
+    n = len(jax.devices())
+    for n_dev in (1, n):
+        mesh = make_mesh(n_dev)
+        bs = 25 * n_dev
+        tr = Trainer(model, TrainConfig(max_epochs=1, batch_size=bs,
+                                        loss="bce"), mesh=mesh)
+        state = tr.init(jnp.zeros((1, 6, 75, 216)))
+        x = jnp.zeros((bs, 6, 75, 216), jnp.float32)
+        y = jnp.zeros((bs, 1, 1, 72), jnp.float32)
+        xs, ys, ws = tr._shard(x, y)
+        key = jax.random.PRNGKey(0)
+        state, loss = tr._train_step(state, xs, ys, ws, key)   # compile
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, loss = tr._train_step(state, xs, ys, ws, key)
+        float(loss)
+        result[str(n_dev)] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
+    return result
 
 
 if __name__ == "__main__":

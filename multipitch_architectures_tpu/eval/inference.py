@@ -17,6 +17,18 @@ compute. TPU-native replacements:
   each 75-frame window in time, whereas the dense pass sees the true
   neighboring frames there (real context instead of zeros) — use
   ``predict_framewise`` when checkpoint-level output parity matters.
+
+.. warning:: Dense modes are for the plain CNN family ONLY
+   (basic/deep/residual CNNs), where trained-model measure deltas vs the
+   windowed protocol are ~2.6e-3 worst-case
+   (perf/dense_fparity_conv_families.py). They FAIL for every U-Net
+   variant: trained Unet F 0.96 → 0.41 (pooling-phase alignment,
+   odd-size up-concat padding and align_corners upsampling tie the
+   features to the 75-frame window geometry), and catastrophically for
+   cross-batch-attention checkpoints, trained SAUnet F 0.95 → 0.11
+   (perf/dense_fparity_experiment.py). Use ``predict_framewise``
+   (optionally with ``group=50`` + a ``cross_batch:50`` model for large
+   fused dispatches) for every U-Net.
 """
 
 from functools import partial

@@ -143,6 +143,9 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
     ckpt_dir = os.path.join(out_dir, "models", cfg.name)
     results: Dict = {"name": cfg.name}
 
+    _log_startup_config(cfg, logger, do_train, do_val, do_test,
+                        store_predictions, store_results_filewise,
+                        ckpt_dir, out_dir)
     model = cfg.build_model()
     try:
         from ..utils import model_summary
@@ -263,6 +266,61 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                 _write_csv(agg, os.path.join(
                     out_dir, "results_filewise", cfg.name + ".csv"))
     return results
+
+
+def _log_startup_config(cfg, logger, do_train, do_val, do_test,
+                        store_predictions, store_results_filewise,
+                        ckpt_dir, out_dir):
+    """The reference's startup config echo (exp180d…py:186-233): every
+    parameter block logged before anything runs."""
+    import dataclasses
+
+    tcfg = cfg.train_config
+    logger.info("Logging experiment %s", cfg.name)
+    logger.info("Experiment config: do training = %s", do_train)
+    logger.info("Experiment config: do validation = %s", do_val)
+    logger.info("Experiment config: do testing = %s", do_test)
+    aug = {f"aug:{k}": v for k, v in dataclasses.asdict(cfg.augment).items()}
+    logger.info("Training set parameters: %s",
+                {"context": cfg.context, "stride": cfg.train_stride,
+                 "compression": cfg.augment.compression, **aug})
+    logger.info("Validation set parameters: %s",
+                {"context": cfg.context, "stride": cfg.val_stride,
+                 "compression": cfg.augment.compression})
+    logger.info("Test set parameters: %s",
+                {"context": cfg.context, "stride": cfg.test_stride,
+                 "compression": cfg.augment.compression})
+    if do_train:
+        logger.info("Training parameters: %s",
+                    {"batch_size": tcfg.batch_size, "shuffle": True})
+        logger.info("Trained model saved in %s", ckpt_dir)
+        logger.info(" --- Training config: ------------------------------"
+                    "----------- ")
+        logger.info("Maximum number of epochs: %s", tcfg.max_epochs)
+        logger.info("Criterion (Loss): %s", tcfg.loss)
+        logger.info("Optimizer parameters: %s",
+                    {"name": "AdamW", "initial_lr": tcfg.initial_lr,
+                     "betas": list(tcfg.betas), "eps": tcfg.eps,
+                     "weight_decay": tcfg.weight_decay})
+        logger.info("Scheduler parameters: %s",
+                    {"name": tcfg.scheduler, **tcfg.scheduler_params})
+        logger.info("Early stopping parameters: %s",
+                    {"use_early_stopping": tcfg.early_stopping,
+                     "mode": tcfg.es_mode, "min_delta": tcfg.es_min_delta,
+                     "patience": tcfg.es_patience,
+                     "percentage": tcfg.es_percentage})
+    if do_test:
+        logger.info("Test parameters: %s",
+                    {"batch_size": cfg.test_batch_size, "shuffle": False})
+        logger.info("Save filewise results = %s, in folder %s",
+                    store_results_filewise,
+                    os.path.join(out_dir, "results_filewise"))
+        logger.info("Save model predictions = %s, in folder %s",
+                    store_predictions, os.path.join(out_dir, "predictions"))
+    logger.info(" --- Model config: ---------------------------------------"
+                "----- ")
+    logger.info("Model: %s", cfg.model_class)
+    logger.info("Model parameters: %s", cfg.model_kwargs)
 
 
 def _test_subset(cfg, corpus, versions, max_frames, apply_fn, variables,

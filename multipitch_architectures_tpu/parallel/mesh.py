@@ -9,11 +9,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # flax param-path suffixes that benefit from tensor-parallel sharding:
 # (module name, leaf name) -> PartitionSpec. The attention MLP is the
-# widest matmul in the zoo (mlp_dim 8192 at embed 128/256, SURVEY §2.8).
+# widest matmul in the zoo (mlp_dim 8192 at embed 128/256, SURVEY §2.8);
+# the attention projections shard Megatron-style (in_proj column-parallel,
+# out_proj row-parallel — GSPMD inserts the reduction collective).
 _TP_RULES = {
     ("mlp1", "kernel"): P(None, "model"),
     ("mlp1", "bias"): P("model"),
     ("mlp2", "kernel"): P("model", None),
+    ("attn", "in_proj_weight"): P("model", None),   # (3E, E) rows sharded
+    ("attn", "in_proj_bias"): P("model"),
+    ("attn", "out_proj_weight"): P(None, "model"),  # (E, E) contraction dim
 }
 
 

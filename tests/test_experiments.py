@@ -209,3 +209,71 @@ def test_split_json_loader():
     if os.path.exists(bigmix):
         names = split_datasets(bigmix)
         assert "MusicNet" in names and len(names) >= 4
+
+
+# ---------------------------------------------------------------------------
+# observability: MAC counts (torchinfo role) + startup config echo
+# ---------------------------------------------------------------------------
+
+def test_mac_counts_match_reference_torchinfo_logs():
+    """'Total mult-adds' for the paper configs must match the torchinfo
+    values embedded in the reference logs (conv models exactly; attention
+    models exceed them by the MHA dots old torchinfo misses)."""
+    from multipitch_architectures_tpu.models import (BasicCnnSegmSigmoid,
+                                                     DeepCnnSegmSigmoid,
+                                                     SimpleUNetDoubleSelfAttn)
+    from multipitch_architectures_tpu.utils import count_macs
+
+    shape = (1, 6, 174, 216)  # the reference's summary input, exp180d:233
+    cnn_m = count_macs(BasicCnnSegmSigmoid(
+        n_chan_layers=(250, 150, 100, 100), n_bins_out=72), shape)
+    assert round(cnn_m / 1e9, 2) == 25.09          # exp126c log:53
+
+    dcnn_l = count_macs(DeepCnnSegmSigmoid(
+        n_chan_layers=(70, 70, 50, 10), n_prefilt_layers=5, residual=False,
+        n_bins_out=72), shape)
+    assert abs(dcnn_l / 1e9 - 171.75) < 0.02       # exp127c log:74
+
+    saunet_l = count_macs(SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(128, 80, 50, 30), n_bins_out=72, scalefac=4,
+        embed_dim=128, num_heads=8, mlp_dim=8192,
+        pos_encoding="sinusoidal"), shape)
+    assert 35.51e9 <= saunet_l <= 36.6e9           # exp180d log:143 + MHA
+
+
+def test_model_summary_includes_macs():
+    from multipitch_architectures_tpu.models import BasicCnnSegmSigmoid
+    from multipitch_architectures_tpu.utils import model_summary
+
+    s = model_summary(BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2),
+                                          n_bins_out=72))
+    assert "Total params:" in s and "Total mult-adds (G):" in s
+
+
+def test_runner_logs_startup_config(tmp_path):
+    """The reference echoes every config block at startup
+    (exp180d…py:186-233); the runner must do the same."""
+    import logging
+
+    from multipitch_architectures_tpu.experiments import load_experiment
+    from multipitch_architectures_tpu.experiments.runner import (
+        SyntheticCorpus, run_experiment)
+
+    cfg = load_experiment("exp126a_musicnet_cnn_basic")
+    records = []
+
+    logger = logging.getLogger("test_startup_echo")
+    logger.setLevel(logging.INFO)
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logger.addHandler(h)
+
+    run_experiment(cfg, SyntheticCorpus(cfg, frames=220), str(tmp_path),
+                   logger=logger, max_epochs_override=1)
+    text = "\n".join(records)
+    for needle in ("Logging experiment exp126a_musicnet_cnn_basic",
+                   "Training set parameters:", "Validation set parameters:",
+                   "Test set parameters:", "Optimizer parameters:",
+                   "Scheduler parameters:", "Early stopping parameters:",
+                   "Model parameters:", "Total mult-adds (G):"):
+        assert needle in text, needle

@@ -84,3 +84,45 @@ def test_tp_mesh_train_step_runs():
     xs, ys, ws = tr._shard(jnp.asarray(x), jnp.asarray(y))
     state, loss = tr._train_step(state, xs, ys, ws, jax.random.PRNGKey(7))
     assert abs(float(loss) - loss_ref) < 1e-5, (float(loss), loss_ref)
+
+
+def test_dp_per_device_batch_math():
+    """Each of the 8 devices holds exactly batch/8 samples of the sharded
+    arrays, and uneven batches replicate-pad with zeroed loss weights."""
+    mesh = make_mesh(8)
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    tr = Trainer(model, TrainConfig(max_epochs=1, batch_size=16, loss="bce"),
+                 mesh=mesh)
+    x, y = _batch(16, seed=3)
+    xs, ys, ws = tr._shard(jnp.asarray(x), jnp.asarray(y))
+    assert xs.sharding.shard_shape(xs.shape) == (2, 6, 75, 216)
+    shards = sorted(xs.addressable_shards, key=lambda s: s.index[0].start)
+    assert len(shards) == 8
+    for k, s in enumerate(shards):
+        np.testing.assert_array_equal(np.asarray(s.data), x[2 * k:2 * k + 2])
+
+    # uneven: 5 samples pad to 8 (wrap-around), weights mask the pad
+    xs5, ys5, ws5 = tr._shard(jnp.asarray(x[:5]), jnp.asarray(y[:5]))
+    assert xs5.shape[0] == 8
+    np.testing.assert_array_equal(np.asarray(ws5), [1, 1, 1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(xs5)[5:], x[:3])
+
+
+def test_tp_shards_attention_projections():
+    """The TP policy places the attention in/out projections and the MLP
+    on the model axis (Megatron-style), not just the MLP."""
+    from multipitch_architectures_tpu.parallel import \
+        tensor_parallel_param_specs
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    specs = tensor_parallel_param_specs(variables["params"])
+    flat = {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(specs)[0]}
+    sharded = {k: v for k, v in flat.items() if v != jax.sharding.PartitionSpec()}
+    names = "\n".join(sharded)
+    assert "in_proj_weight" in names and "out_proj_weight" in names
+    assert "mlp1" in names and "mlp2" in names
