@@ -177,7 +177,39 @@ def main():
             out["dp_train_step_ms"] = _dp_step_scaling(jax)
         except Exception:
             pass
+        try:
+            out["sharded_windowed_rt"] = _sharded_inference_scaling(
+                jax, model_grouped, variables, audio_dev, features)
+        except Exception:
+            pass
     print(json.dumps(out))
+
+
+def _sharded_inference_scaling(jax, model_grouped, variables, audio_dev,
+                               features):
+    """Windowed-protocol real-time factor at mesh sizes {1, N}: the
+    stride-1 window fan-out sharded over the data axis
+    (eval.predict_framewise_sharded), 250 windows/chip/dispatch in
+    reference-exact groups of 50. Ideal scaling: rt[N] ≈ N·rt[1]."""
+    import jax.numpy as jnp
+
+    from multipitch_architectures_tpu.eval import predict_framewise_sharded
+    from multipitch_architectures_tpu.parallel import make_mesh
+
+    hcqt = features(audio_dev)[:, HALF:-(HALF + 1), :]   # unpad: raw (6,T,F)
+    apply_fn = lambda v, xw: model_grouped.apply(v, xw, train=False)
+    result = {}
+    for n_dev in (1, len(jax.devices())):
+        mesh = make_mesh(n_dev)
+        run = lambda: predict_framewise_sharded(
+            apply_fn, variables, hcqt, mesh, per_device_batch=BATCH,
+            compression=None, group=GROUP)
+        run()                                            # warm-up
+        t0 = time.perf_counter()
+        run()
+        result[str(n_dev)] = round(
+            AUDIO_SECONDS / (time.perf_counter() - t0), 1)
+    return result
 
 
 def _dp_step_scaling(jax):

@@ -8,7 +8,8 @@ from .measures import (
     normalize_feature_sequence,
 )
 from .mireval import calculate_mpe_measures_mireval, midi_to_hz
-from .inference import predict_framewise, predict_dense, predict_dense_chunked
+from .inference import (predict_framewise, predict_framewise_sharded,
+                        predict_dense, predict_dense_chunked)
 
 __all__ = [
     "calculate_single_measure",
@@ -18,6 +19,7 @@ __all__ = [
     "calculate_mpe_measures_mireval",
     "midi_to_hz",
     "predict_framewise",
+    "predict_framewise_sharded",
     "predict_dense",
     "predict_dense_chunked",
 ]

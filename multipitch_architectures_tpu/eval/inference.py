@@ -36,6 +36,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.windows import gather_windows
 
@@ -106,6 +107,81 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
         outs.append(y)
         start += n
     return np.concatenate([np.asarray(y) for y in outs], axis=0)
+
+
+def predict_framewise_sharded(apply_fn, variables, inputs, mesh, context=75,
+                              per_device_batch=50, compression=10.0,
+                              group=None):
+    """Multi-chip windowed-protocol inference: shard the stride-1 window
+    batch over the mesh's ``data`` axis.
+
+    The stride-1 test fan-out (thousands of 75-frame windows per file,
+    exp180d…py:417-443) is the most profitable thing to shard on a TPU
+    pod slice (SURVEY §2.9): windows are embarrassingly parallel, the
+    HCQT + params replicate (a few MB), and each device runs
+    ``per_device_batch`` windows per dispatch with no collectives — the
+    only ICI traffic is the (B, n_bins) result layout.
+
+    Protocol exactness requires per-device batches to decompose into the
+    reference loader's batches, so the model must either be
+    batch-composition independent (``tokens`` attention or no attention)
+    or use grouped ``cross_batch:<g>`` attention with
+    ``per_device_batch % g == 0`` — then every group of ``g``
+    consecutive windows lands whole on one device and reproduces one
+    reference test batch exactly, like the single-chip grouped path.
+    Plain (ungrouped) ``cross_batch`` models are rejected by construction
+    here: pass ``group`` (and build the model with ``cross_batch:<g>``).
+
+    The tail (< ``n_data * per_device_batch`` windows) drains through the
+    single-device path with identical batch composition.
+
+    Returns: np.ndarray (T, n_bins).
+    """
+    n_data = int(mesh.shape["data"])
+    if group is not None and per_device_batch % group:
+        raise ValueError(f"per_device_batch {per_device_batch} not a "
+                         f"multiple of attention group {group}")
+
+    x = jnp.asarray(inputs, jnp.float32)
+    if compression is not None:
+        x = jnp.log1p(compression * x)
+    t = x.shape[1]
+    half = context // 2
+    xp = jax.device_put(_pad_inputs(x, context),
+                        NamedSharding(mesh, P()))          # replicated
+    variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    batch_shard = NamedSharding(mesh, P("data"))
+
+    super_batch = per_device_batch * n_data
+    outs = []
+    start = 0
+    while t - start >= super_batch:
+        centers = half + start + np.arange(super_batch)
+        y = _window_forward_sharded(apply_fn, variables, xp,
+                                    jax.device_put(jnp.asarray(centers),
+                                                   batch_shard),
+                                    context, batch_shard)
+        outs.append(y)
+        start += super_batch
+    # tail: single-device, reference batch composition (same loop as
+    # predict_framewise)
+    while start < t:
+        n = min(per_device_batch, t - start)
+        if group is not None and n < per_device_batch and n > group:
+            n = (n // group) * group or n
+        centers = half + start + np.arange(n)
+        outs.append(_window_forward(apply_fn, variables, xp,
+                                    jnp.asarray(centers), context))
+        start += n
+    return np.concatenate([np.asarray(y) for y in outs], axis=0)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "context", "out_sharding"))
+def _window_forward_sharded(apply_fn, variables, inputs_padded, centers,
+                            context, out_sharding):
+    y = _window_forward.__wrapped__(apply_fn, variables, inputs_padded,
+                                    centers, context)
+    return jax.lax.with_sharding_constraint(y, out_sharding)
 
 
 def predict_dense_chunked(apply_fn, variables, inputs, context=75,

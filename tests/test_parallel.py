@@ -126,3 +126,53 @@ def test_tp_shards_attention_projections():
     names = "\n".join(sharded)
     assert "in_proj_weight" in names and "out_proj_weight" in names
     assert "mlp1" in names and "mlp2" in names
+
+
+def test_sharded_framewise_matches_single_device_protocol():
+    """predict_framewise_sharded on the 8-device data mesh must reproduce
+    the single-device windowed protocol (grouped cross-batch attention:
+    every group of g consecutive windows = one reference test batch, and
+    groups land whole on one device)."""
+    from multipitch_architectures_tpu.eval import (predict_framewise,
+                                                   predict_framewise_sharded)
+
+    kw = dict(n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+              embed_dim=32, num_heads=8, mlp_dim=64,
+              pos_encoding="sinusoidal")
+    plain = SimpleUNetDoubleSelfAttn(**kw)
+    grouped = SimpleUNetDoubleSelfAttn(**kw, attn_mode="cross_batch:4")
+    variables = plain.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+
+    # 2 sharded super-batches of 8*8=64 + tail 13 (3 groups of 4 + 1)
+    t_frames = 141
+    inputs = np.random.RandomState(9).rand(6, t_frames, 216).astype(np.float32)
+
+    want = predict_framewise(
+        lambda v, xw: plain.apply(v, xw, train=False), variables, inputs,
+        batch_size=4)
+    got = predict_framewise_sharded(
+        lambda v, xw: grouped.apply(v, xw, train=False), variables, inputs,
+        make_mesh(8), per_device_batch=8, group=4)
+    assert got.shape == want.shape == (t_frames, 72)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sharded_framewise_attention_free_any_batching():
+    """For a batch-composition-independent model the sharded path is exact
+    for any per-device batch (no group constraint)."""
+    from multipitch_architectures_tpu.eval import (predict_framewise,
+                                                   predict_framewise_sharded)
+
+    model = BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2), n_bins_out=72)
+    variables = model.init({"params": jax.random.PRNGKey(1)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    inputs = np.random.RandomState(3).rand(6, 97, 216).astype(np.float32)
+
+    want = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
+        batch_size=50)
+    got = predict_framewise_sharded(
+        lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
+        make_mesh(8), per_device_batch=5)
+    np.testing.assert_allclose(got, want, atol=2e-5)
