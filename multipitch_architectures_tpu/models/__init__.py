@@ -68,3 +68,18 @@ simple_u_net_doubleselfattn_polyphony_classif = (
 )
 simple_u_net_polyphony_classif = SimpleUNetPolyphonyClassif
 simple_u_net_polyphony_classif_softmax = SimpleUNetPolyphonyClassifSoftmax
+
+# Building-block aliases (libdl/nn_models/__init__.py also re-exports the
+# blocks; unet_cnns.py:13-243). ``single_conv`` is broken upstream
+# (undefined ``mid_channels``, unet_cnns.py:13-27) — the alias points at
+# the working single-stage block used where the evident intent needs one
+# (SingleConvSELU, see FreqUNet). ``unet_up_concat_padding`` is a pure
+# function here (bilinear 2x upsample + pad-to-skip + concat,
+# ops/resize.py) rather than a stateless nn.Module.
+double_conv = DoubleConv
+single_conv = SingleConvSELU
+transformer_enc_layer = TransformerEncLayer
+transformer_temporal_enc_layer = TransformerTemporalEncLayer
+blstm_temporal_enc_layer = BLSTMTemporalEncLayer
+
+from ..ops.resize import up_concat_pad as unet_up_concat_padding  # noqa: E402
