@@ -15,6 +15,7 @@ Re-designed from scratch with the capabilities of the PyTorch reference
 - ``train``       one configurable trainer replacing the reference's 111 scripts
 - ``eval``        vectorized multipitch measures + whole-recording inference
 - ``parallel``    device-mesh sharding (dp/tp) via jax.sharding + jit
+- ``serve``       AOT-exported StableHLO serving artifacts (jax.export)
 - ``experiments`` registry of all 111 reference experiment configs + runner
 - ``ops``         torch-semantics numerical primitives + Pallas TPU kernels
 - ``utils``       profiling/tracing, model summaries, plotting
