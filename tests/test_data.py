@@ -288,3 +288,35 @@ def test_pipeline_augmented_batch_runs():
     xb, yb = next(p.batches(jax.random.PRNGKey(0), batch_size=8))
     assert xb.shape == (8, 6, 75, 216) and yb.shape == (8, 1, 1, 72)
     assert np.isfinite(np.asarray(xb)).all()
+
+
+def test_time_scale_matches_scipy_interp1d_oracle():
+    """The fixed-output-length time-scale augmentation (documented
+    deviation from the reference's variable-length stretch,
+    hcqt_datasets.py:211-226) must (a) draw the reference's rate
+    scalefac = 1/a + 2U(1-1/a), (b) linearly interpolate the segment
+    interior exactly like scipy.interp1d at the sampled positions, and
+    (c) pass the context frames through untouched."""
+    from scipy.interpolate import interp1d
+
+    from multipitch_architectures_tpu.data.augment import time_scale
+
+    context, seglength, max_factor = 75, 100, 1.3
+    half = context // 2
+    rng = np.random.RandomState(0)
+    x = rng.rand(6, seglength + 2 * half, 216).astype(np.float32)
+
+    key = jax.random.PRNGKey(42)
+    out = np.asarray(time_scale(key, jnp.asarray(x), max_factor, context))
+    assert out.shape == x.shape
+
+    u = float(jax.random.uniform(key))
+    scalefac = 1.0 / max_factor + 2.0 * u * (1.0 - 1.0 / max_factor)
+    interior = x[:, half:-half, :]
+    n = interior.shape[1]
+    pos = np.clip(np.arange(n) / scalefac, 0, n - 1)
+    want = interp1d(np.arange(n), interior, axis=1, kind="linear")(pos)
+
+    np.testing.assert_array_equal(out[:, :half, :], x[:, :half, :])
+    np.testing.assert_array_equal(out[:, -half:, :], x[:, -half:, :])
+    np.testing.assert_allclose(out[:, half:-half, :], want, atol=1e-5)
