@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Export a trained/ported checkpoint as a self-contained serving
+artifact, then predict with it — the deployment-side counterpart of
+examples/predict_pretrained.py.
+
+Two subcommands:
+
+  export:  model (+ optional torch .pt checkpoint) → one StableHLO file
+           with the weights baked in. `--group 50` exports the
+           block-diagonal cross-batch-attention variant so every dispatch
+           reproduces the reference's batch-50 test composition
+           (exp180d…py:62-65).
+  predict: artifact + HCQT .npy → framewise prediction .npy, no model
+           code or checkpoint needed.
+
+Example:
+    python examples/export_serving_artifact.py export \
+        --model simple_u_net_doubleselfattn \
+        --model-args '{"n_chan_layers":[128,150,100,80],"n_bins_out":72,
+                       "scalefac":4,"embed_dim":128,"num_heads":8,
+                       "mlp_dim":8192,"pos_encoding":"sinusoidal"}' \
+        --checkpoint exp180d_best.pt --group 50 --out saunet_l.stablehlo
+    python examples/export_serving_artifact.py predict \
+        --artifact saunet_l.stablehlo --hcqt file_hcqt.npy --out pred.npy
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cmd_export(args):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import multipitch_architectures_tpu.models as models
+    from multipitch_architectures_tpu.serve import export_window_forward
+
+    cls = getattr(models, args.model)
+    kwargs = json.loads(args.model_args)
+    kwargs = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in kwargs.items()}
+    model = cls(**kwargs)
+    if args.group:
+        model = dataclasses.replace(model,
+                                    attn_mode=f"cross_batch:{args.group}")
+
+    if args.checkpoint:
+        import torch
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from predict_pretrained import port_state_dict
+
+        sd = torch.load(args.checkpoint, map_location="cpu")
+        variables = port_state_dict(args.model, sd)
+    else:
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((1, 6, 75, 216)), train=False)
+
+    blob = export_window_forward(
+        lambda v, x: model.apply(v, x, train=False), variables,
+        batch_size=args.batch_size,
+        platforms=tuple(args.platforms.split(",")) if args.platforms
+        else None)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB, "
+          f"batch {args.batch_size})")
+
+
+def cmd_predict(args):
+    from multipitch_architectures_tpu.serve import (
+        load_window_forward, predict_framewise_exported)
+
+    with open(args.artifact, "rb") as f:
+        fn = load_window_forward(f.read())
+    hcqt = np.load(args.hcqt)
+    if hcqt.shape[0] != 6:                    # reference layout (216, T, 6)
+        hcqt = hcqt.transpose(2, 1, 0)
+    pred = predict_framewise_exported(fn, hcqt, batch_size=args.batch_size,
+                                      compression=args.compression)
+    np.save(args.out, pred)
+    print(f"wrote {args.out} {pred.shape}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("export")
+    e.add_argument("--model", required=True)
+    e.add_argument("--model-args", required=True)
+    e.add_argument("--checkpoint")
+    e.add_argument("--group", type=int, default=0)
+    e.add_argument("--batch-size", type=int, default=50)
+    e.add_argument("--platforms", default="",
+                   help="comma-separated lowering platforms, e.g. tpu,cpu")
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export)
+
+    r = sub.add_parser("predict")
+    r.add_argument("--artifact", required=True)
+    r.add_argument("--hcqt", required=True)
+    r.add_argument("--batch-size", type=int, default=50)
+    r.add_argument("--compression", type=float, default=10.0)
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=cmd_predict)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
