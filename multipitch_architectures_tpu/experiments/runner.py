@@ -224,7 +224,7 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
         logger.info("\n \n ###################### START TESTING "
                     "###################### \n")
         if do_train and tcfg.early_stopping and os.path.isdir(ckpt_dir):
-            state, _ = _Checkpointer(ckpt_dir).restore(state)
+            state, _, _ = _Checkpointer(ckpt_dir).restore(state)
 
         def apply_fn(variables, x):
             return model.apply(variables, x, train=False)

@@ -249,7 +249,8 @@ class Trainer:
 
     def fit(self, train_batches_fn, val_batches_fn=None,
             state: Optional[TrainState] = None,
-            checkpoint_dir: Optional[str] = None):
+            checkpoint_dir: Optional[str] = None,
+            start_epoch: int = 0):
         """Run the full training loop.
 
         Args:
@@ -259,25 +260,36 @@ class Trainer:
             state: optional initial state (else caller must have used
                 ``init`` and pass it here).
             checkpoint_dir: where to save best checkpoints (orbax).
+            start_epoch: first epoch index to run — pass
+                ``epoch + 1`` from ``_Checkpointer.restore`` to resume.
+                PRNG streams are a pure function of (seed, epoch,
+                batch index), so a resumed run replays the exact
+                augmentation/dropout randomness of a straight run
+                (deterministic resume; ReduceLROnPlateau / early-stop
+                counters restart — the restored lr is carried in the
+                checkpoint).
         Returns: (state_of_best_or_last, history dict)
         """
         cfg = self.config
         assert state is not None, "call trainer.init(...) first"
         es = EarlyStopping(cfg.es_mode, cfg.es_min_delta, cfg.es_patience,
                            cfg.es_percentage) if cfg.early_stopping else None
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
         history = {"train_loss": [], "val_loss": [], "lr": []}
         ckpt = _Checkpointer(checkpoint_dir) if checkpoint_dir else None
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             if cfg.scheduler == "LambdaLR":
                 self.lr = cfg.initial_lr * self._lambda(epoch)
-            key, ktrain, kval, kepoch = jax.random.split(key, 4)
+            # per-epoch streams derived by fold_in: identical whether the
+            # epoch is reached by straight training or by resume
+            ktrain, kval, kepoch, kvdata = jax.random.split(
+                jax.random.fold_in(base_key, epoch), 4)
 
             accum, n_batches = 0.0, 0
             state = self._with_lr(state, self.lr)
             for x, y in train_batches_fn(epoch, kepoch):
-                key, kstep = jax.random.split(key)
+                kstep = jax.random.fold_in(ktrain, n_batches)
                 xs, ys, ws = self._shard(x, y)
                 state, loss = self._train_step(state, xs, ys, ws, kstep)
                 accum += float(loss)
@@ -289,8 +301,8 @@ class Trainer:
             val_loss = None
             if val_batches_fn is not None:
                 vaccum, vn = 0.0, 0
-                for x, y in val_batches_fn(epoch, kval):
-                    key, kstep = jax.random.split(key)
+                for x, y in val_batches_fn(epoch, kvdata):
+                    kstep = jax.random.fold_in(kval, vn)
                     xs, ys, ws = self._shard(x, y)
                     loss, new_stats = self._eval_step(
                         state.params, state.batch_stats, xs, ys, ws,
@@ -324,12 +336,12 @@ class Trainer:
             if es is not None:
                 if epoch == 0 or es.curr_is_better(metric):
                     if ckpt:
-                        ckpt.save(state, epoch)
+                        ckpt.save(state, epoch, self.lr)
                     self.logger.info("  .... model of epoch #%d saved.", epoch)
                 if es.step(metric):
                     break
             elif ckpt:
-                ckpt.save(state, epoch)
+                ckpt.save(state, epoch, self.lr)
         return state, history
 
     def _with_lr(self, state: TrainState, lr: float) -> TrainState:
@@ -355,7 +367,7 @@ class _Checkpointer:
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
-    def save(self, state: TrainState, epoch: int):
+    def save(self, state: TrainState, epoch: int, lr: float = 0.0):
         import os
 
         payload = {
@@ -364,12 +376,16 @@ class _Checkpointer:
             "opt_state": state.opt_state,
             "step": state.step,
             "epoch": jnp.asarray(epoch),
+            "lr": np.asarray(float(lr), np.float64),
         }
         path = os.path.join(self.dir, "best")
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
 
     def restore(self, like_state: TrainState):
+        """Returns (state, epoch, lr) — resume with
+        ``trainer.lr = lr; trainer.fit(..., state=state,
+        start_epoch=epoch + 1)``."""
         import os
 
         payload = {
@@ -378,6 +394,7 @@ class _Checkpointer:
             "opt_state": like_state.opt_state,
             "step": like_state.step,
             "epoch": jnp.asarray(0),
+            "lr": np.asarray(0.0, np.float64),
         }
         restored = self._ckptr.restore(os.path.join(self.dir, "best"),
                                        payload)
@@ -386,4 +403,4 @@ class _Checkpointer:
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
-        ), int(restored["epoch"])
+        ), int(restored["epoch"]), float(restored["lr"])

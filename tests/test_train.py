@@ -254,7 +254,8 @@ def test_trainer_reduces_loss_and_checkpoints(tmp_path):
     from multipitch_architectures_tpu.train.trainer import _Checkpointer
 
     fresh = tr.init(jnp.zeros((1, 6, 75, 216)))
-    restored, epoch = _Checkpointer(str(tmp_path / "ckpt")).restore(fresh)
+    restored, epoch, _lr = _Checkpointer(
+        str(tmp_path / "ckpt")).restore(fresh)
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
@@ -301,3 +302,45 @@ def test_empty_val_iterator_reports_none_not_zero():
                          lambda e, k: iter(()),  # empty val iterator
                          state=state)
     assert hist["val_loss"] == [None]
+
+
+def test_deterministic_resume_matches_straight_run(tmp_path):
+    """True resume: train 2 epochs with checkpointing, restore the full
+    state, continue with ``start_epoch`` — params bit-identical to a
+    straight 4-epoch run. Works because PRNG streams are a pure function
+    of (seed, epoch, batch index) and the checkpoint holds params +
+    batch_stats + optimizer state + epoch + lr. (The reference cannot
+    resume at all: weights-only torch.save, SURVEY §5.)"""
+    from multipitch_architectures_tpu.train.trainer import _Checkpointer
+
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+
+    def data(epoch, key):
+        for i in range(2):
+            k = jax.random.fold_in(key, i)
+            x = jax.random.uniform(k, (4, 6, 75, 216))
+            y = (jax.random.uniform(jax.random.fold_in(k, 1),
+                                    (4, 1, 1, 72)) > 0.9).astype(jnp.float32)
+            yield x, y
+
+    def cfg(max_epochs):
+        return TrainConfig(max_epochs=max_epochs, batch_size=4,
+                           scheduler=None, early_stopping=False,
+                           loss="bce", seed=3)
+
+    tr = Trainer(model, cfg(4))
+    straight, _ = tr.fit(data, state=tr.init(jnp.zeros((1, 6, 75, 216))))
+
+    tr2 = Trainer(model, cfg(2))
+    tr2.fit(data, state=tr2.init(jnp.zeros((1, 6, 75, 216))),
+            checkpoint_dir=str(tmp_path / "ck"))
+
+    tr3 = Trainer(model, cfg(4))
+    fresh = tr3.init(jnp.zeros((1, 6, 75, 216)))
+    restored, epoch, lr = _Checkpointer(str(tmp_path / "ck")).restore(fresh)
+    assert epoch == 1 and lr == tr3.lr
+    resumed, _ = tr3.fit(data, state=restored, start_epoch=epoch + 1)
+
+    for a, b in zip(jax.tree.leaves(resumed.params),
+                    jax.tree.leaves(straight.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
