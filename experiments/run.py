@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--fix-val-split", action="store_true",
                     help="repair the reference's merged val prefixes")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the experiment checkpoint and continue"
+                         " training from the next epoch")
     args = ap.parse_args()
 
     if args.cpu or args.smoke:
@@ -62,7 +65,8 @@ def main():
         epochs = args.epochs
 
     results = run_experiment(cfg, corpus, args.out_dir,
-                             max_epochs_override=epochs)
+                             max_epochs_override=epochs,
+                             resume=args.resume)
     if results.get("subsets"):
         fw = results["subsets"][0]["framewise_mean"]
         print(f"Framewise f_measure: {fw.get('f_measure')}")

@@ -128,13 +128,19 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                    do_train: bool = True, do_val: bool = True,
                    do_test: bool = True, store_predictions: bool = True,
                    store_results_filewise: bool = True, mesh=None,
-                   max_epochs_override: Optional[int] = None) -> Dict:
+                   max_epochs_override: Optional[int] = None,
+                   resume: bool = False) -> Dict:
     """Run one experiment end to end. Returns a results dict with history
     and per-subset metric aggregates.
 
     ``corpus`` may be a single corpus (NpyCorpus/SyntheticCorpus) or a
     list of ``(corpus, train_stride, val_stride)`` tuples for the Exp4
     big-mix protocol.
+
+    ``resume=True`` restores the experiment's checkpoint (full train
+    state + epoch + lr) and continues training from the next epoch —
+    deterministic w.r.t. a straight run (trainer PRNG streams are a pure
+    function of (seed, epoch, batch index)).
     """
     if isinstance(corpus, (list, tuple)):
         corpus = _MultiCorpus(list(corpus))
@@ -208,6 +214,15 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
             logger.info("Validation set & loader generated, length %d",
                         len(val_p))
 
+        start_epoch = 0
+        if resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
+            state, last_epoch, lr = _Checkpointer(ckpt_dir).restore(state)
+            start_epoch = last_epoch + 1
+            if lr:
+                trainer.lr = lr
+            logger.info("Resuming from checkpoint: epoch %d, lr %.6f",
+                        start_epoch, trainer.lr)
+
         logger.info("\n \n ###################### START TRAINING "
                     "###################### \n")
         state, history = trainer.fit(
@@ -216,7 +231,7 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                                               shuffle=False,
                                               drop_remainder=False))
             if val_p else None,
-            state=state, checkpoint_dir=ckpt_dir)
+            state=state, checkpoint_dir=ckpt_dir, start_epoch=start_epoch)
         results["history"] = history
         logger.info(" ### trained model saved in %s \n", ckpt_dir)
 
