@@ -92,3 +92,32 @@ def test_trainer_batches_feed_trainer(corpus):
     xs, ys, ws = tr._shard(jnp.asarray(x), jnp.asarray(y))
     state, loss = tr._train_step(state, xs, ys, ws, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_tsan_stress_no_data_races(tmp_path):
+    """Race detection for the loader's concurrency model (immutable
+    dataset, concurrent fill_batch callers, inner thread teams): build
+    the ThreadSanitizer harness and run it on a real corpus file. Any
+    data race makes TSAN exit non-zero with a report."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native = os.path.join(root, "native")
+    build = subprocess.run(["make", "-C", native, "tsan"],
+                           capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {build.stderr[-200:]}")
+
+    rng = np.random.RandomState(0)
+    hcqt = rng.rand(216, 300, 6).astype(np.float32)
+    annot = (rng.rand(128, 300) > 0.9).astype(np.float32)
+    np.save(tmp_path / "h.npy", hcqt)
+    np.save(tmp_path / "a.npy", annot)
+
+    run = subprocess.run(
+        [os.path.join(native, "build", "tsan_stress"),
+         str(tmp_path / "h.npy"), str(tmp_path / "a.npy")],
+        capture_output=True, text=True, timeout=300)
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "ThreadSanitizer" not in run.stderr, run.stderr[-2000:]
+    assert "tsan_stress OK" in run.stdout
