@@ -14,7 +14,7 @@ from .hcqt import (
     efficient_hcqt_device,
     hcqt,
 )
-from .cqt import cqt, CqtPlan, cqt_direct_numpy
+from .cqt import cqt, cqt_streamed, CqtPlan, cqt_direct_numpy
 from .tuning import estimate_tuning
 from .annotation import (
     compute_annotation_array,
@@ -28,6 +28,7 @@ __all__ = [
     "efficient_hcqt_device",
     "hcqt",
     "cqt",
+    "cqt_streamed",
     "CqtPlan",
     "cqt_direct_numpy",
     "estimate_tuning",

@@ -247,6 +247,50 @@ def _cqt_impl(y, kr, sqrt_lengths, taps_j, *, hop, n_fft, n_octaves, bpo,
     return out.T                                          # (n_bins, T)
 
 
+def cqt_streamed(y, plan: CqtPlan, chunk_frames: int = 8192,
+                 use_pallas: bool = False) -> np.ndarray:
+    """Bounded-memory CQT for arbitrarily long recordings.
+
+    Processes frame-aligned chunks, each with enough REAL-sample context
+    that the kept frames equal the whole-recording computation: the
+    context covers the deepest octave's kernel half-support plus the
+    recursive half-band decimation chain's support, so segment-edge
+    reflect padding never reaches a kept frame (the recording's true
+    edges keep their reflect-padded semantics because the first/last
+    segments start/end exactly at the signal boundary). Compiled size is
+    bounded by ``chunk_frames`` regardless of recording length — the
+    whole-recording :func:`cqt` materializes an (n_frames, n_fft) gather
+    per octave, which is the memory blowup this avoids.
+
+    Returns host numpy (n_bins, n_frames); chunks stream through the
+    device one at a time.
+    """
+    kr, sqrt_lengths, n_fft, n_octaves, taps = [
+        d.a if isinstance(d, _HashableArray) else d for d in plan._data]
+    hop = plan.hop
+    y = np.asarray(y, np.float32)
+    n_frames = len(y) // hop + 1
+    if n_frames <= chunk_frames:
+        return np.asarray(cqt(y, plan, use_pallas=use_pallas))
+
+    deep = 2 ** (n_octaves - 1)
+    # deepest-octave kernel half-support + decimation-chain support,
+    # in original-rate samples, rounded up to a whole hop so chunk
+    # starts stay frame- and decimation-grid-aligned (hop % deep == 0)
+    ctx = (n_fft // 2) * deep + (taps.shape[0] // 2) * 2 * deep
+    ctx = -(-ctx // hop) * hop
+
+    outs = []
+    for c0 in range(0, n_frames, chunk_frames):
+        c1 = min(n_frames, c0 + chunk_frames)
+        s0 = max(0, c0 * hop - ctx)
+        s1 = min(len(y), (c1 - 1) * hop + ctx)
+        m = cqt(y[s0:s1], plan, use_pallas=use_pallas)
+        local0 = c0 - s0 // hop
+        outs.append(np.asarray(m[:, local0:local0 + (c1 - c0)]))
+    return np.concatenate(outs, axis=1)
+
+
 def cqt_direct_numpy(y, fs, hop, fmin, n_bins, bins_per_octave,
                      filter_scale=1.0):
     """Slow exact reference: direct time-domain correlation with full-rate

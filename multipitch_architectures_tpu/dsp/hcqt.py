@@ -25,7 +25,7 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from .cqt import CqtPlan, cqt
+from .cqt import CqtPlan, cqt, cqt_streamed
 from .tuning import estimate_tuning
 
 C1_HZ = 32.70319566257483  # librosa.note_to_hz('C1')
@@ -80,7 +80,8 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
                           bins_per_octave=60, num_octaves=6, num_harmonics=5,
                           num_subharmonics=1, center_bins=True,
                           tuning: Optional[float] = 0.0,
-                          use_pallas: Optional[bool] = None):
+                          use_pallas: Optional[bool] = None,
+                          chunk_frames: Optional[int] = None):
     """Efficient HCQT with zero host roundtrips: the whole pipeline stays
     on device; returns (jnp (n_harm, T, F) in the model layout, fs_hcqt,
     hopsize). ``tuning`` must be a number here (estimation is a host-side
@@ -88,7 +89,12 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
 
     ``use_pallas=None`` auto-selects: the fused Pallas octave kernel on
     TPU (bit-identical, ~30% faster than the XLA gather+matmul path,
-    measured on v5e), XLA elsewhere (the Pallas interpreter is slow)."""
+    measured on v5e), XLA elsewhere (the Pallas interpreter is slow).
+
+    ``chunk_frames`` switches to the bounded-memory streamed CQT
+    (:func:`..dsp.cqt.cqt_streamed`) for arbitrarily long recordings —
+    identical frames, chunks pass through the device one at a time, and
+    the result is a HOST numpy array instead of a device array."""
     if use_pallas is None:
         import jax
 
@@ -113,20 +119,26 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
         plan = _plan(float(fs), int(hopsize_cqt), float(fmin_tuned * base),
                      int((num_octaves + max_shift) * bins_per_octave),
                      int(bins_per_octave))
-        f_cqt = cqt(y, plan, use_pallas=use_pallas)       # (bins, T) device
+        if chunk_frames:
+            f_cqt = cqt_streamed(y, plan, chunk_frames=chunk_frames,
+                                 use_pallas=use_pallas)   # (bins, T) host
+        else:
+            f_cqt = cqt(y, plan, use_pallas=use_pallas)   # (bins, T) device
         for idx, (b, shift) in enumerate(assignment):
             if b != base:
                 continue
             lo = shift * bins_per_octave
             channels[idx] = f_cqt[lo:lo + n_bins, :n_frames].T  # (T, F)
-    out = jnp.stack(channels, axis=0)                     # (n_harm, T, F)
+    stack = np.stack if chunk_frames else jnp.stack
+    out = stack(channels, axis=0)                         # (n_harm, T, F)
     return out, fs_hcqt, hopsize_cqt
 
 
 def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
                            bins_per_octave=60, num_octaves=6, num_harmonics=5,
                            num_subharmonics=1, center_bins=True,
-                           tuning: Optional[float] = None):
+                           tuning: Optional[float] = None,
+                           chunk_frames: Optional[int] = None):
     """Efficient HCQT (reference hcqt.py:89-164): shared CQTs per base
     harmonic, octave-shifted slices for 2^k-related harmonics.
 
@@ -144,7 +156,8 @@ def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
         f_audio, fs=fs, fmin=fmin, fs_hcqt_target=fs_hcqt_target,
         bins_per_octave=bins_per_octave, num_octaves=num_octaves,
         num_harmonics=num_harmonics, num_subharmonics=num_subharmonics,
-        center_bins=center_bins, tuning=float(tuning))
+        center_bins=center_bins, tuning=float(tuning),
+        chunk_frames=chunk_frames)
     # (n_harm, T, F) device -> reference layout (F, T, n_harm) numpy
     return np.asarray(jnp.transpose(out, (2, 1, 0))), fs_hcqt, hopsize_cqt
 

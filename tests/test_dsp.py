@@ -142,3 +142,39 @@ def test_annotation_overlap_variant_returns():
     events = np.array([[0.1, 0.9, 65.0]])
     out = compute_annotation_array(events, 50, fs_a, "pitch")
     assert out is not None and out[65].sum() > 0
+
+
+def test_cqt_streamed_matches_full():
+    """Chunked bounded-memory CQT must reproduce the whole-recording
+    computation exactly: frame-aligned chunks carry real-sample context
+    covering the deepest kernel + decimation-chain support."""
+    from multipitch_architectures_tpu.dsp import CqtPlan, cqt, cqt_streamed
+
+    fs, hop = 4096, 64
+    plan = CqtPlan.create(fs, hop, fmin=100.0, n_bins=108, bins_per_octave=36)
+    rng = np.random.RandomState(0)
+    y = rng.randn(fs * 3).astype(np.float32)
+
+    full = np.asarray(cqt(y, plan))
+    streamed = cqt_streamed(y, plan, chunk_frames=48)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=1e-4)
+
+
+def test_efficient_hcqt_streamed_matches_whole():
+    """chunk_frames= streams the HCQT through the device in bounded
+    pieces and must match the one-shot device computation."""
+    from multipitch_architectures_tpu.dsp import compute_efficient_hcqt
+
+    rng = np.random.RandomState(1)
+    audio = rng.randn(22050 * 2).astype(np.float32) * 0.1
+
+    whole, fs_a, hop_a = compute_efficient_hcqt(
+        audio, fs_hcqt_target=50, bins_per_octave=36, num_octaves=6,
+        tuning=0.0)
+    streamed, fs_b, hop_b = compute_efficient_hcqt(
+        audio, fs_hcqt_target=50, bins_per_octave=36, num_octaves=6,
+        tuning=0.0, chunk_frames=32)
+    assert (fs_a, hop_a) == (fs_b, hop_b)
+    assert streamed.shape == whole.shape
+    np.testing.assert_allclose(streamed, whole, atol=2e-5, rtol=1e-4)
