@@ -10,6 +10,8 @@ from .measures import (
 from .mireval import calculate_mpe_measures_mireval, midi_to_hz
 from .inference import (predict_framewise, predict_framewise_sharded,
                         predict_dense, predict_dense_chunked)
+from .quant import (quantized_apply_fn, quantized_conv,
+                    calibrate_activation_scales, make_int8_interceptor)
 
 __all__ = [
     "calculate_single_measure",
@@ -22,4 +24,8 @@ __all__ = [
     "predict_framewise_sharded",
     "predict_dense",
     "predict_dense_chunked",
+    "quantized_apply_fn",
+    "quantized_conv",
+    "make_int8_interceptor",
+    "calibrate_activation_scales",
 ]

@@ -1,0 +1,173 @@
+"""int8 (W8A8) quantized inference for the conv stacks.
+
+v5e's int8 MXU peak is 2x bf16, and XLA's f32 convs already run as
+one-pass bf16 MXU ops — so f32→bf16 buys nothing (measured, ROADMAP),
+but int8 does: 1.45–1.63x standalone on SAUnet:XL's FLOP-dominant conv
+shapes (perf/int8_conv_microbench.py). This module turns any model of
+the zoo into an int8-conv serving variant WITHOUT touching model code:
+a flax method interceptor replaces every big-enough ``nn.Conv`` with
+
+    per-output-channel symmetric int8 weights
+    per-tensor int8 activations — dynamic (max-abs per call) or
+        calibrated static scales (:func:`calibrate_activation_scales`)
+    int32 accumulation on the MXU, dequantize + bias in f32
+
+LayerNorm, BatchNorm, attention, pooling, bilinear resize, and the
+small head convs stay f32 (negligible FLOP share; quantizing them risks
+accuracy for no speed). Measured on the windowed HCQT+SAUnet:XL protocol
+pipeline (perf/int8_windowed_experiment.py, v5e): dynamic +1.6%
+(the per-call max re-reads every activation tensor), calibrated static
++15% (42.4x -> 48.8x real-time). NOT protocol-exact: an opt-in serving
+mode whose accuracy cost must be measured per checkpoint —
+perf/int8_fparity_experiment.py (trained SAUnet, synthetic task):
+dynamic default policy keeps ALL 25 measures within 8e-4 of the f32
+protocol; calibrated static within 2.3e-3, with the F-measure itself
++1.3e-3 (higher than f32).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _normalize_strides(strides):
+    if strides is None:
+        return (1, 1)
+    if isinstance(strides, int):
+        return (strides, strides)
+    return tuple(strides)
+
+
+def quantized_conv(x, kernel, bias, strides, padding):
+    """int8 W8A8 convolution with f32 dequantize.
+
+    x: (B, H, W, Cin) f32; kernel: (kh, kw, Cin, Cout) f32 — quantization
+    happens inside the traced graph, so the same checkpoint pytree serves
+    both the f32 and int8 paths (XLA folds the weight quantization into
+    constants under jit when params are donated/captured)."""
+    ws = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))        # per out channel
+    ws = jnp.maximum(ws, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kernel / ws), -127, 127).astype(jnp.int8)
+    xs = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, _normalize_strides(strides), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (ws * xs)                # broadcast Cout
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def quantized_conv_static(x, kernel, bias, strides, padding, x_scale):
+    """int8 conv with a PRE-CALIBRATED per-layer activation scale: no
+    dynamic max pass over the input (the dynamic variant re-reads every
+    activation tensor, which erases most of the MXU gain in-context —
+    measured: dynamic +1.6%, static +14% on the windowed pipeline,
+    perf/int8_windowed_experiment.py)."""
+    ws = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    ws = jnp.maximum(ws, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kernel / ws), -127, 127).astype(jnp.int8)
+    xs = jnp.float32(x_scale)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, _normalize_strides(strides), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (ws * xs)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def make_int8_interceptor(min_kernel_elems: int = 4096,
+                          activation_scales=None):
+    """Interceptor quantizing every ``nn.Conv`` whose kernel holds at
+    least ``min_kernel_elems`` weights (the tiny 1x1 shortcuts and
+    1xK heads stay f32 by default). With ``activation_scales`` (a
+    {module-path: scale} dict from :func:`calibrate_activation_scales`)
+    the static-scale kernels are used; otherwise scales are dynamic."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
+                and "params" in mod.variables):
+            kernel = mod.variables["params"]["kernel"]
+            if kernel.size >= min_kernel_elems:
+                bias = mod.variables["params"].get("bias")
+                if activation_scales is not None:
+                    key = "/".join(mod.path)
+                    scale = activation_scales.get(key)
+                    if scale is not None:
+                        return quantized_conv_static(
+                            args[0], kernel, bias, mod.strides, mod.padding,
+                            scale)
+                return quantized_conv(args[0], kernel, bias, mod.strides,
+                                      mod.padding)
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def calibrate_activation_scales(model, variables, sample_inputs,
+                                min_kernel_elems: int = 4096):
+    """Per-conv activation scales from representative inputs.
+
+    Runs JITTED f32 forwards with a trace-time capturing interceptor:
+    each conv input's max|x| becomes an extra traced output, so
+    calibration costs one compiled dispatch per distinct input shape
+    (an eager per-op forward would crawl through a relayed TPU backend).
+    Returns {module-path: max_abs / 127} for :func:`quantized_apply_fn`.
+    Calibrate on windows drawn from the serving distribution (e.g. a few
+    protocol batches of the recording, or training windows)."""
+    import jax as _jax
+
+    keys = []
+
+    def probe(v, x):
+        del keys[:]                                      # trace-time reset
+        captured = []
+
+        def capture(next_fun, args, kwargs, context):
+            mod = context.module
+            if (isinstance(mod, nn.Conv)
+                    and context.method_name == "__call__"
+                    and "params" in mod.variables
+                    and mod.variables["params"]["kernel"].size
+                    >= min_kernel_elems):
+                keys.append("/".join(mod.path))
+                captured.append(jnp.max(jnp.abs(args[0])))
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(capture):
+            model.apply(v, x, train=False)
+        return jnp.stack(captured)
+
+    probe_jit = _jax.jit(probe)
+    maxes = {}
+    for x in sample_inputs:
+        vals = np.asarray(probe_jit(variables, jnp.asarray(x)))
+        # `keys` holds the most recent trace's order; cached calls keep it
+        for k, v in zip(list(keys), vals):
+            maxes[k] = max(maxes.get(k, 0.0), float(v))
+    return {k: max(v, 1e-12) / 127.0 for k, v in maxes.items()}
+
+
+def quantized_apply_fn(model, min_kernel_elems: int = 4096,
+                       activation_scales=None):
+    """``(variables, x) -> y`` forward with int8 convs — a drop-in for
+    the ``apply_fn`` taken by ``predict_framewise`` / ``serve``.
+    jit-compatible (interception happens at trace time). Pass
+    ``activation_scales`` from :func:`calibrate_activation_scales` for
+    the faster static-scale mode."""
+
+    interceptor = make_int8_interceptor(min_kernel_elems,
+                                        activation_scales)
+
+    def apply_fn(variables, x):
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, x, train=False)
+
+    return apply_fn

@@ -269,3 +269,56 @@ def test_predict_framewise_grouped_matches_plain_protocol():
         lambda v, xw: grouped.apply(v, xw, train=False), variables, inputs,
         batch_size=200, group=50)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_quantized_apply_close_to_f32_and_policy_respected():
+    """Dynamic-int8 serving mode (eval/quant.py): the quantized forward
+    stays close to f32 on a U-Net (bounded per-layer quantization error),
+    actually changes the arithmetic, and a threshold above every kernel
+    size degenerates to the exact f32 path."""
+    from multipitch_architectures_tpu.eval import quantized_apply_fn
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 6, 75, 216),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    f32 = np.asarray(jax.jit(
+        lambda v, xi: model.apply(v, xi, train=False))(variables, x))
+
+    q = np.asarray(jax.jit(quantized_apply_fn(model))(variables, x))
+    assert q.shape == f32.shape
+    assert (q != f32).any()                       # int8 path actually taken
+    assert np.abs(q - f32).max() < 5e-3           # sigmoid-output error bound
+
+    noop = np.asarray(jax.jit(quantized_apply_fn(
+        model, min_kernel_elems=1 << 30))(variables, x))
+    np.testing.assert_array_equal(noop, f32)
+
+
+def test_quantized_static_scales_close_to_f32():
+    """Calibrated static-scale int8 (the fast serving variant): scales
+    captured from representative windows keep the forward close to f32,
+    and every big conv gets a calibrated scale."""
+    from multipitch_architectures_tpu.eval import (
+        calibrate_activation_scales, quantized_apply_fn)
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 6, 75, 216), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    scales = calibrate_activation_scales(model, variables, [x])
+    assert len(scales) >= 10 and all(v > 0 for v in scales.values())
+
+    f32 = np.asarray(jax.jit(
+        lambda v, xi: model.apply(v, xi, train=False))(variables, x))
+    q = np.asarray(jax.jit(quantized_apply_fn(
+        model, activation_scales=scales))(variables, x))
+    assert (q != f32).any()
+    assert np.abs(q - f32).max() < 5e-3
