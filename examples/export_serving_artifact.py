@@ -64,9 +64,32 @@ def cmd_export(args):
         variables = model.init({"params": jax.random.PRNGKey(0)},
                                jnp.zeros((1, 6, 75, 216)), train=False)
 
+    apply_fn = lambda v, x: model.apply(v, x, train=False)
+    if args.int8:
+        # W8A8 conv serving mode (eval/quant.py) with scales calibrated
+        # on random windows unless real calibration data is given
+        from multipitch_architectures_tpu.eval import (
+            calibrate_activation_scales, quantized_apply_fn)
+
+        if args.calibrate_hcqt:
+            hcqt = np.load(args.calibrate_hcqt)
+            if hcqt.shape[0] != 6:
+                hcqt = hcqt.transpose(2, 1, 0)
+            x = np.log1p(10.0 * np.asarray(hcqt, np.float32))
+            half = 37
+            xp = np.pad(x, ((0, 0), (half, half + 1), (0, 0)))
+            cal = [np.stack([xp[:, c - half:c + half + 1, :]
+                             for c in half + 50 * b + np.arange(50)])
+                   for b in range(min(4, (x.shape[1] - 1) // 50 + 1))]
+        else:
+            rng = np.random.RandomState(0)
+            cal = [np.log1p(10.0 * rng.rand(50, 6, 75, 216)
+                            .astype(np.float32))]
+        scales = calibrate_activation_scales(model, variables, cal)
+        apply_fn = quantized_apply_fn(model, activation_scales=scales)
+
     blob = export_window_forward(
-        lambda v, x: model.apply(v, x, train=False), variables,
-        batch_size=args.batch_size,
+        apply_fn, variables, batch_size=args.batch_size,
         platforms=tuple(args.platforms.split(",")) if args.platforms
         else None)
     with open(args.out, "wb") as f:
@@ -99,6 +122,11 @@ def main():
     e.add_argument("--model-args", required=True)
     e.add_argument("--checkpoint")
     e.add_argument("--group", type=int, default=0)
+    e.add_argument("--int8", action="store_true",
+                   help="export the calibrated W8A8 int8 serving variant"
+                        " (eval/quant.py; ~15%% faster windowed serving)")
+    e.add_argument("--calibrate-hcqt",
+                   help="HCQT .npy for int8 activation calibration")
     e.add_argument("--batch-size", type=int, default=50)
     e.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms, e.g. tpu,cpu")

@@ -73,3 +73,22 @@ def test_export_grouped_attention_model():
         np.asarray(plain.apply(variables, jnp.asarray(x[4:]),
                                train=False)).reshape(4, -1)])
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_export_int8_quantized_apply():
+    """The W8A8 serving mode composes with AOT export: the artifact
+    reproduces the in-process quantized forward exactly."""
+    from multipitch_architectures_tpu.eval import (
+        calibrate_activation_scales, quantized_apply_fn)
+
+    model, variables = _cnn()
+    x = np.random.RandomState(4).rand(4, 6, 75, 216).astype(np.float32)
+    scales = calibrate_activation_scales(model, variables,
+                                         [jnp.asarray(x)])
+    q_apply = quantized_apply_fn(model, activation_scales=scales)
+    fn = load_window_forward(
+        export_window_forward(q_apply, variables, batch_size=4))
+    got = np.asarray(fn(x))
+    want = np.asarray(jax.jit(q_apply)(variables,
+                                       jnp.asarray(x))).reshape(4, -1)
+    np.testing.assert_array_equal(got, want)
