@@ -334,7 +334,10 @@ class Trainer:
                 self.lr = self._noam.rate(int(state.step) + 1)
 
             if es is not None:
-                if epoch == 0 or es.curr_is_better(metric):
+                # the run's first epoch always checkpoints (the
+                # reference's epoch-0 baseline save, exp180d…py:372);
+                # on resume the fresh EarlyStopping has no best yet
+                if epoch == start_epoch or es.curr_is_better(metric):
                     if ckpt:
                         ckpt.save(state, epoch, self.lr)
                     self.logger.info("  .... model of epoch #%d saved.", epoch)

@@ -277,3 +277,22 @@ def test_runner_logs_startup_config(tmp_path):
                    "Scheduler parameters:", "Early stopping parameters:",
                    "Model parameters:", "Total mult-adds (G):"):
         assert needle in text, needle
+
+
+def test_runner_resume_continues_from_checkpoint(tmp_path):
+    """run_experiment(resume=True) restores the checkpoint and continues
+    at the next epoch — the second run's history covers only the
+    remaining epochs."""
+    cfg = load_experiment("exp126a_musicnet_cnn_basic")
+    corpus = SyntheticCorpus(cfg, frames=250, n_train_files=2)
+    first = run_experiment(cfg, corpus, str(tmp_path),
+                           max_epochs_override=1, do_test=False,
+                           logger=logging.getLogger("resume1"))
+    assert len(first["history"]["train_loss"]) == 1
+
+    second = run_experiment(cfg, corpus, str(tmp_path),
+                            max_epochs_override=3, do_test=False,
+                            resume=True,
+                            logger=logging.getLogger("resume2"))
+    # epochs 1..2 remain after resuming past the checkpointed epoch 0
+    assert len(second["history"]["train_loss"]) == 2
