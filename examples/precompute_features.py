@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--fs", type=int, default=22050)
     ap.add_argument("--fs-hcqt-target", type=float, default=50)
     ap.add_argument("--bins-per-octave", type=int, default=36)
+    ap.add_argument("--chunk-frames", type=int, default=None,
+                    help="bounded-memory streamed HCQT for long"
+                         " recordings (dsp.cqt_streamed)")
     args = ap.parse_args()
 
     os.makedirs(os.path.join(args.out_dir, "hcqt"), exist_ok=True)
@@ -75,7 +78,8 @@ def main():
         audio = load_audio(os.path.join(args.audio_dir, fn), args.fs)
         f_hcqt, fs_hcqt, _ = compute_efficient_hcqt(
             audio, fs=args.fs, fs_hcqt_target=args.fs_hcqt_target,
-            bins_per_octave=args.bins_per_octave, num_octaves=6)
+            bins_per_octave=args.bins_per_octave, num_octaves=6,
+            chunk_frames=args.chunk_frames)
         events = load_note_events(os.path.join(args.csv_dir, name + ".csv"))
         roll = compute_annotation_array_nooverlap(
             events, f_hcqt.shape[1], fs_hcqt, annot_type="pitch")
