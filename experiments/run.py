@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="restore the experiment checkpoint and continue"
                          " training from the next epoch")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the run to DIR"
+                         " (TensorBoard-loadable)")
     args = ap.parse_args()
 
     if args.cpu or args.smoke:
@@ -64,9 +67,17 @@ def main():
         corpus = NpyCorpus(args.data_dir, args.annot_dir)
         epochs = args.epochs
 
-    results = run_experiment(cfg, corpus, args.out_dir,
-                             max_epochs_override=epochs,
-                             resume=args.resume)
+    if args.profile:
+        from multipitch_architectures_tpu.utils import profiling
+
+        with profiling.trace(args.profile):
+            results = run_experiment(cfg, corpus, args.out_dir,
+                                     max_epochs_override=epochs,
+                                     resume=args.resume)
+    else:
+        results = run_experiment(cfg, corpus, args.out_dir,
+                                 max_epochs_override=epochs,
+                                 resume=args.resume)
     if results.get("subsets"):
         fw = results["subsets"][0]["framewise_mean"]
         print(f"Framewise f_measure: {fw.get('f_measure')}")
