@@ -78,9 +78,15 @@ def cmd_export(args):
             x = np.log1p(10.0 * np.asarray(hcqt, np.float32))
             half = 37
             xp = np.pad(x, ((0, 0), (half, half + 1), (0, 0)))
-            cal = [np.stack([xp[:, c - half:c + half + 1, :]
-                             for c in half + 50 * b + np.arange(50)])
-                   for b in range(min(4, (x.shape[1] - 1) // 50 + 1))]
+            t = x.shape[1]
+            # centers clamped into the recording so short files yield
+            # full-size (possibly duplicated) calibration windows
+            cal = []
+            for b in range(min(4, -(-t // 50))):
+                centers = np.minimum(half + 50 * b + np.arange(50),
+                                     half + t - 1)
+                cal.append(np.stack([xp[:, c - half:c + half + 1, :]
+                                     for c in centers]))
         else:
             rng = np.random.RandomState(0)
             cal = [np.log1p(10.0 * rng.rand(50, 6, 75, 216)

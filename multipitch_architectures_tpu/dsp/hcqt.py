@@ -158,7 +158,13 @@ def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
         num_harmonics=num_harmonics, num_subharmonics=num_subharmonics,
         center_bins=center_bins, tuning=float(tuning),
         chunk_frames=chunk_frames)
-    # (n_harm, T, F) device -> reference layout (F, T, n_harm) numpy
+    # (n_harm, T, F) -> reference layout (F, T, n_harm) numpy. The
+    # streamed path returns a HOST array; transpose it on host (pushing
+    # a multi-hour recording back through the device would defeat the
+    # bounded-memory point).
+    if chunk_frames:
+        return np.ascontiguousarray(np.transpose(out, (2, 1, 0))), \
+            fs_hcqt, hopsize_cqt
     return np.asarray(jnp.transpose(out, (2, 1, 0))), fs_hcqt, hopsize_cqt
 
 

@@ -82,20 +82,35 @@ def quantized_conv_static(x, kernel, bias, strides, padding, x_scale):
     return y
 
 
+def _plain_conv(mod) -> bool:
+    """Only undilated, ungrouped convs are quantized; anything else falls
+    through to the exact f32 path (the replayed conv below does not
+    carry dilation/group attributes, so silently quantizing them would
+    compute the wrong thing)."""
+
+    def unit(v):
+        return v is None or v == 1 or tuple(np.atleast_1d(v)) in ((1,),
+                                                                  (1, 1))
+
+    return (unit(mod.kernel_dilation) and unit(mod.input_dilation)
+            and mod.feature_group_count == 1)
+
+
 def make_int8_interceptor(min_kernel_elems: int = 4096,
                           activation_scales=None):
-    """Interceptor quantizing every ``nn.Conv`` whose kernel holds at
-    least ``min_kernel_elems`` weights (the tiny 1x1 shortcuts and
-    1xK heads stay f32 by default). With ``activation_scales`` (a
-    {module-path: scale} dict from :func:`calibrate_activation_scales`)
-    the static-scale kernels are used; otherwise scales are dynamic."""
+    """Interceptor quantizing every plain ``nn.Conv`` whose kernel holds
+    at least ``min_kernel_elems`` weights (the tiny 1x1 shortcuts and
+    1xK heads stay f32 by default; dilated/grouped convs always stay
+    f32). With ``activation_scales`` (a {module-path: scale} dict from
+    :func:`calibrate_activation_scales`) the static-scale kernels are
+    used; otherwise scales are dynamic."""
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if (isinstance(mod, nn.Conv) and context.method_name == "__call__"
                 and "params" in mod.variables):
             kernel = mod.variables["params"]["kernel"]
-            if kernel.size >= min_kernel_elems:
+            if kernel.size >= min_kernel_elems and _plain_conv(mod):
                 bias = mod.variables["params"].get("bias")
                 if activation_scales is not None:
                     key = "/".join(mod.path)
@@ -136,7 +151,7 @@ def calibrate_activation_scales(model, variables, sample_inputs,
                     and context.method_name == "__call__"
                     and "params" in mod.variables
                     and mod.variables["params"]["kernel"].size
-                    >= min_kernel_elems):
+                    >= min_kernel_elems and _plain_conv(mod)):
                 keys.append("/".join(mod.path))
                 captured.append(jnp.max(jnp.abs(args[0])))
             return next_fun(*args, **kwargs)

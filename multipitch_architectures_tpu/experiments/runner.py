@@ -13,6 +13,7 @@ Faithful protocol:
 """
 
 import logging
+import math
 import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -215,11 +216,22 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                         len(val_p))
 
         start_epoch = 0
+        initial_best = None
         if resume and os.path.isdir(os.path.join(ckpt_dir, "best")):
-            state, last_epoch, lr = _Checkpointer(ckpt_dir).restore(state)
+            state, last_epoch, lr, metric = \
+                _Checkpointer(ckpt_dir).restore(state)
             start_epoch = last_epoch + 1
             if lr:
                 trainer.lr = lr
+                if trainer.scheduler is not None:
+                    # carry the reduced LR (and its best) into the fresh
+                    # ReduceLROnPlateau, else the first scheduler.step
+                    # snaps back to initial_lr
+                    trainer.scheduler.lr = lr
+            if not math.isnan(metric):
+                initial_best = metric
+                if trainer.scheduler is not None:
+                    trainer.scheduler.best = metric
             logger.info("Resuming from checkpoint: epoch %d, lr %.6f",
                         start_epoch, trainer.lr)
 
@@ -231,7 +243,8 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
                                               shuffle=False,
                                               drop_remainder=False))
             if val_p else None,
-            state=state, checkpoint_dir=ckpt_dir, start_epoch=start_epoch)
+            state=state, checkpoint_dir=ckpt_dir, start_epoch=start_epoch,
+            initial_best=initial_best)
         results["history"] = history
         logger.info(" ### trained model saved in %s \n", ckpt_dir)
 
@@ -239,7 +252,7 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
         logger.info("\n \n ###################### START TESTING "
                     "###################### \n")
         if do_train and tcfg.early_stopping and os.path.isdir(ckpt_dir):
-            state, _, _ = _Checkpointer(ckpt_dir).restore(state)
+            state, _, _, _ = _Checkpointer(ckpt_dir).restore(state)
 
         def apply_fn(variables, x):
             return model.apply(variables, x, train=False)

@@ -250,7 +250,7 @@ class Trainer:
     def fit(self, train_batches_fn, val_batches_fn=None,
             state: Optional[TrainState] = None,
             checkpoint_dir: Optional[str] = None,
-            start_epoch: int = 0):
+            start_epoch: int = 0, initial_best: Optional[float] = None):
         """Run the full training loop.
 
         Args:
@@ -265,15 +265,21 @@ class Trainer:
                 PRNG streams are a pure function of (seed, epoch,
                 batch index), so a resumed run replays the exact
                 augmentation/dropout randomness of a straight run
-                (deterministic resume; ReduceLROnPlateau / early-stop
-                counters restart — the restored lr is carried in the
-                checkpoint).
+                (deterministic resume; the restored lr and best metric
+                are carried in the checkpoint — patience counters
+                restart).
+            initial_best: the restored checkpoint's metric — seeds the
+                early-stopping best so a resumed run never overwrites
+                the best checkpoint with a worse first epoch.
         Returns: (state_of_best_or_last, history dict)
         """
         cfg = self.config
         assert state is not None, "call trainer.init(...) first"
         es = EarlyStopping(cfg.es_mode, cfg.es_min_delta, cfg.es_patience,
                            cfg.es_percentage) if cfg.early_stopping else None
+        if es is not None and initial_best is not None \
+                and not np.isnan(initial_best):
+            es.best = initial_best
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         history = {"train_loss": [], "val_loss": [], "lr": []}
         ckpt = _Checkpointer(checkpoint_dir) if checkpoint_dir else None
@@ -303,7 +309,19 @@ class Trainer:
                 vaccum, vn = 0.0, 0
                 for x, y in val_batches_fn(epoch, kvdata):
                     kstep = jax.random.fold_in(kval, vn)
-                    xs, ys, ws = self._shard(x, y)
+                    n = x.shape[0]
+                    if cfg.val_in_train_mode and n % self.mesh.devices.size:
+                        # exact-batch placement: padded rows would enter
+                        # the train-mode BatchNorm statistics that this
+                        # mode PERSISTS into the checkpoint; run ragged
+                        # val batches replicated so stats cover exactly
+                        # the reference's batch rows
+                        xs = jax.device_put(jnp.asarray(x), self._replicated)
+                        ys = jax.device_put(jnp.asarray(y), self._replicated)
+                        ws = jax.device_put(jnp.ones(n, jnp.float32),
+                                            self._replicated)
+                    else:
+                        xs, ys, ws = self._shard(x, y)
                     loss, new_stats = self._eval_step(
                         state.params, state.batch_stats, xs, ys, ws,
                         cfg.val_in_train_mode, kstep)
@@ -334,17 +352,25 @@ class Trainer:
                 self.lr = self._noam.rate(int(state.step) + 1)
 
             if es is not None:
-                # the run's first epoch always checkpoints (the
-                # reference's epoch-0 baseline save, exp180d…py:372);
-                # on resume the fresh EarlyStopping has no best yet
-                if epoch == start_epoch or es.curr_is_better(metric):
+                # the run's first epoch checkpoints when there is no
+                # prior best (the reference's epoch-0 baseline save,
+                # exp180d…py:372); a resumed run seeds es.best from the
+                # checkpoint, so a WORSE first resumed epoch does not
+                # clobber the restored best
+                if es.best is None:
+                    # patience==0 never records a best (reference
+                    # monitoring.py:23-25 - every epoch "is better")
+                    save = epoch == start_epoch or es.patience == 0
+                else:
+                    save = es.curr_is_better(metric)
+                if save:
                     if ckpt:
-                        ckpt.save(state, epoch, self.lr)
+                        ckpt.save(state, epoch, self.lr, metric)
                     self.logger.info("  .... model of epoch #%d saved.", epoch)
                 if es.step(metric):
                     break
             elif ckpt:
-                ckpt.save(state, epoch, self.lr)
+                ckpt.save(state, epoch, self.lr, metric)
         return state, history
 
     def _with_lr(self, state: TrainState, lr: float) -> TrainState:
@@ -370,7 +396,8 @@ class _Checkpointer:
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
-    def save(self, state: TrainState, epoch: int, lr: float = 0.0):
+    def save(self, state: TrainState, epoch: int, lr: float = 0.0,
+             metric: Optional[float] = None):
         import os
 
         payload = {
@@ -380,30 +407,41 @@ class _Checkpointer:
             "step": state.step,
             "epoch": jnp.asarray(epoch),
             "lr": np.asarray(float(lr), np.float64),
+            "metric": np.asarray(
+                float("nan") if metric is None else float(metric),
+                np.float64),
         }
         path = os.path.join(self.dir, "best")
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
 
     def restore(self, like_state: TrainState):
-        """Returns (state, epoch, lr) — resume with
+        """Returns (state, epoch, lr, metric) — resume with
         ``trainer.lr = lr; trainer.fit(..., state=state,
-        start_epoch=epoch + 1)``."""
+        start_epoch=epoch + 1, initial_best=metric)``. ``lr`` is 0.0 and
+        ``metric`` NaN for checkpoints written before these fields
+        existed (restore falls back to the bare-state template)."""
         import os
 
-        payload = {
+        path = os.path.join(self.dir, "best")
+        base = {
             "params": like_state.params,
             "batch_stats": like_state.batch_stats,
             "opt_state": like_state.opt_state,
             "step": like_state.step,
             "epoch": jnp.asarray(0),
-            "lr": np.asarray(0.0, np.float64),
         }
-        restored = self._ckptr.restore(os.path.join(self.dir, "best"),
-                                       payload)
+        extras = {"lr": np.asarray(0.0, np.float64),
+                  "metric": np.asarray(float("nan"), np.float64)}
+        try:
+            restored = self._ckptr.restore(path, {**base, **extras})
+        except Exception:
+            restored = dict(self._ckptr.restore(path, base))
+            restored.update(lr=0.0, metric=float("nan"))
         return like_state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
-        ), int(restored["epoch"]), float(restored["lr"])
+        ), int(restored["epoch"]), float(restored["lr"]), \
+            float(restored["metric"])

@@ -254,7 +254,7 @@ def test_trainer_reduces_loss_and_checkpoints(tmp_path):
     from multipitch_architectures_tpu.train.trainer import _Checkpointer
 
     fresh = tr.init(jnp.zeros((1, 6, 75, 216)))
-    restored, epoch, _lr = _Checkpointer(
+    restored, epoch, _lr, _metric = _Checkpointer(
         str(tmp_path / "ckpt")).restore(fresh)
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(state.params)):
@@ -337,10 +337,94 @@ def test_deterministic_resume_matches_straight_run(tmp_path):
 
     tr3 = Trainer(model, cfg(4))
     fresh = tr3.init(jnp.zeros((1, 6, 75, 216)))
-    restored, epoch, lr = _Checkpointer(str(tmp_path / "ck")).restore(fresh)
+    restored, epoch, lr, _m = _Checkpointer(str(tmp_path / "ck")).restore(fresh)
     assert epoch == 1 and lr == tr3.lr
     resumed, _ = tr3.fit(data, state=restored, start_epoch=epoch + 1)
 
     for a, b in zip(jax.tree.leaves(resumed.params),
                     jax.tree.leaves(straight.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_does_not_clobber_better_checkpoint(tmp_path):
+    """A resumed run whose first epoch is WORSE than the restored best
+    must not overwrite the best checkpoint (initial_best seeds the
+    early-stopping best)."""
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+
+    def data(epoch, key):
+        k = jax.random.fold_in(key, 0)
+        x = jax.random.uniform(k, (4, 6, 75, 216))
+        y = (jax.random.uniform(jax.random.fold_in(k, 1),
+                                (4, 1, 1, 72)) > 0.9).astype(jnp.float32)
+        yield x, y
+
+    cfg = TrainConfig(max_epochs=1, batch_size=4, scheduler=None,
+                      early_stopping=True, es_patience=3, loss="bce", seed=0)
+    tr = Trainer(model, cfg)
+    # initial_best far better than any achievable BCE loss -> no save
+    tr.fit(data, state=tr.init(jnp.zeros((1, 6, 75, 216))),
+           checkpoint_dir=str(tmp_path / "ck"), start_epoch=0,
+           initial_best=1e-9)
+    assert not (tmp_path / "ck" / "best").exists()
+
+    # without a prior best the first epoch checkpoints (baseline save)
+    tr2 = Trainer(model, cfg)
+    tr2.fit(data, state=tr2.init(jnp.zeros((1, 6, 75, 216))),
+            checkpoint_dir=str(tmp_path / "ck2"))
+    assert (tmp_path / "ck2" / "best").exists()
+
+
+def test_restore_accepts_pre_lr_metric_checkpoints(tmp_path):
+    """Checkpoints written before the lr/metric fields existed restore
+    with defaults instead of raising."""
+    from multipitch_architectures_tpu.train.trainer import _Checkpointer
+
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    tr = Trainer(model, TrainConfig(max_epochs=1, batch_size=2, loss="bce"))
+    state = tr.init(jnp.zeros((1, 6, 75, 216)))
+
+    ck = _Checkpointer(str(tmp_path / "old"))
+    legacy = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": jnp.asarray(3),
+    }
+    import os
+    ck._ckptr.save(os.path.join(ck.dir, "best"), legacy, force=True)
+    ck._ckptr.wait_until_finished()
+
+    restored, epoch, lr, metric = ck.restore(state)
+    assert epoch == 3 and lr == 0.0 and np.isnan(metric)
+
+
+def test_val_in_train_ragged_batch_bn_stats_exact():
+    """With val_in_train_mode, a ragged val batch (not divisible by the
+    mesh) must produce the same persisted BatchNorm running stats as a
+    single-device run — padding must not enter the statistics."""
+    from multipitch_architectures_tpu.models import SimpleUNetLargeKernels
+    from multipitch_architectures_tpu.parallel import make_mesh
+
+    model = SimpleUNetLargeKernels(n_chan_layers=(8, 8, 4, 2),
+                                   n_bins_out=72, scalefac=16)
+    rng = np.random.RandomState(0)
+    vx = rng.rand(5, 6, 75, 216).astype(np.float32)   # 5 % 8 != 0
+    vy = (rng.rand(5, 1, 1, 72) > 0.9).astype(np.float32)
+
+    def stats_for(mesh):
+        cfg = TrainConfig(max_epochs=1, batch_size=5, loss="bce",
+                          val_in_train_mode=True, early_stopping=False,
+                          scheduler=None, seed=0)
+        tr = Trainer(model, cfg, mesh=mesh)
+        state = tr.init(jnp.zeros((1, 6, 75, 216)))
+        state, _ = tr.fit(lambda e, k: iter(()),
+                          lambda e, k: iter([(jnp.asarray(vx),
+                                              jnp.asarray(vy))]),
+                          state=state)
+        return jax.tree.leaves(state.batch_stats)
+
+    for a, b in zip(stats_for(make_mesh(8)), stats_for(make_mesh(1))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
