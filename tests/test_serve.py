@@ -92,3 +92,17 @@ def test_export_int8_quantized_apply():
     want = np.asarray(jax.jit(q_apply)(variables,
                                        jnp.asarray(x))).reshape(4, -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_export_multi_platform_artifact():
+    """Artifacts lowered for several platforms deserialize and run on
+    whichever platform is active (the deploy-anywhere story)."""
+    model, variables = _cnn()
+    apply_fn = lambda v, xw: model.apply(v, xw, train=False)
+    blob = export_window_forward(apply_fn, variables, batch_size=2,
+                                 platforms=("cpu", "tpu"))
+    fn = load_window_forward(blob)
+    x = np.random.RandomState(7).rand(2, 6, 75, 216).astype(np.float32)
+    got = np.asarray(fn(x))
+    want = np.asarray(apply_fn(variables, jnp.asarray(x))).reshape(2, -1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
