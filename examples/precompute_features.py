@@ -23,37 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multipitch_architectures_tpu.dsp import (  # noqa: E402
     compute_annotation_array_nooverlap, compute_efficient_hcqt)
-
-
-def load_audio(path, fs):
-    if path.endswith(".npy"):
-        return np.asarray(np.load(path), np.float32)
-    from scipy.io import wavfile
-
-    rate, data = wavfile.read(path)
-    if data.ndim > 1:
-        data = data.mean(axis=1)
-    if data.dtype.kind == "i":
-        data = data / np.iinfo(data.dtype).max
-    if rate != fs:
-        from scipy.signal import resample_poly
-
-        g = np.gcd(rate, fs)
-        data = resample_poly(data, fs // g, rate // g)
-    return np.asarray(data, np.float32)
-
-
-def load_note_events(csv_path, source_fs=44100.0):
-    """MusicNet csv → (start_sec, end_sec, midi_pitch) rows
-    (01 notebook cell 7: sample indices / 44100)."""
-    import pandas as pd
-
-    df = pd.read_csv(csv_path)
-    cols = {c.lower(): c for c in df.columns}
-    start = df[cols.get("start_time", df.columns[0])].to_numpy() / source_fs
-    end = df[cols.get("end_time", df.columns[1])].to_numpy() / source_fs
-    pitch = df[cols.get("note", df.columns[3])].to_numpy()
-    return np.stack([start, end, pitch], axis=1)
+from multipitch_architectures_tpu.io import (  # noqa: E402
+    load_audio, load_note_events)
 
 
 def main():

@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--data-dir")
     ap.add_argument("--annot-dir")
+    ap.add_argument("--audio-dir",
+                    help="train directly from .wav/.npy audio (with"
+                         " --csv-dir annotations) — features computed"
+                         " on device, no precompute step")
+    ap.add_argument("--csv-dir")
+    ap.add_argument("--chunk-frames", type=int, default=None,
+                    help="streamed bounded-memory HCQT for --audio-dir")
     ap.add_argument("--out-dir", default="runs")
     ap.add_argument("--smoke", action="store_true",
                     help="synthetic data + 1 epoch + shrunken model")
@@ -48,8 +55,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from multipitch_architectures_tpu.experiments import (
-        NpyCorpus, SyntheticCorpus, available_experiments, load_experiment,
-        run_experiment)
+        AudioCorpus, NpyCorpus, SyntheticCorpus, available_experiments,
+        load_experiment, run_experiment)
 
     if args.list:
         for name in available_experiments():
@@ -61,9 +68,15 @@ def main():
         cfg = _shrink_for_smoke(cfg)
         corpus = SyntheticCorpus(cfg, frames=300)
         epochs = args.epochs or 1
+    elif args.audio_dir:
+        assert args.csv_dir, "--csv-dir required with --audio-dir"
+        corpus = AudioCorpus(args.audio_dir, args.csv_dir,
+                             chunk_frames=args.chunk_frames)
+        epochs = args.epochs
     else:
         assert args.data_dir and args.annot_dir, \
-            "--data-dir/--annot-dir required without --smoke"
+            "--data-dir/--annot-dir (or --audio-dir/--csv-dir) required" \
+            " without --smoke"
         corpus = NpyCorpus(args.data_dir, args.annot_dir)
         epochs = args.epochs
 

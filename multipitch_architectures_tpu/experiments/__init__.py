@@ -9,7 +9,8 @@ from .configs import (
     MODEL_REGISTRY,
     BIGMIX_STRIDES,
 )
-from .runner import run_experiment, SyntheticCorpus, NpyCorpus
+from .runner import (run_experiment, SyntheticCorpus, NpyCorpus,
+                     AudioCorpus)
 from .splits import (apply_split_to_config, load_split, split_datasets,
                      split_filenames)
 
@@ -23,6 +24,7 @@ __all__ = [
     "run_experiment",
     "SyntheticCorpus",
     "NpyCorpus",
+    "AudioCorpus",
     "apply_split_to_config",
     "load_split",
     "split_datasets",

@@ -56,6 +56,54 @@ class NpyCorpus:
 
 
 @dataclass
+class AudioCorpus:
+    """Train directly from audio — no precompute step (the reference
+    requires notebook-01 precomputation to .npy first).
+
+    ``audio_dir/<name>.wav|.npy`` + ``csv_dir/<name>.csv`` (MusicNet
+    schema) → on-device efficient HCQT (streamed via ``chunk_frames``
+    for long recordings) + rasterized pitch roll, computed at load time
+    and cached in-process (an epoch re-reads every file)."""
+
+    audio_dir: str
+    csv_dir: str
+    fs: int = 22050
+    fs_hcqt_target: float = 50.0
+    bins_per_octave: int = 36
+    chunk_frames: Optional[int] = None
+    cache: bool = True
+
+    def __post_init__(self):
+        self._cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def files(self) -> List[str]:
+        return sorted(fn for fn in os.listdir(self.audio_dir)
+                      if fn.endswith((".wav", ".npy")))
+
+    def load(self, fn: str) -> Tuple[np.ndarray, np.ndarray]:
+        if fn in self._cache:
+            return self._cache[fn]
+        from ..dsp import (compute_annotation_array_nooverlap,
+                           compute_efficient_hcqt)
+        from ..io import load_audio, load_note_events
+
+        audio = load_audio(os.path.join(self.audio_dir, fn), self.fs)
+        f_hcqt, fs_hcqt, _ = compute_efficient_hcqt(
+            audio, fs=self.fs, fs_hcqt_target=self.fs_hcqt_target,
+            bins_per_octave=self.bins_per_octave, num_octaves=6,
+            chunk_frames=self.chunk_frames)
+        name = os.path.splitext(fn)[0]
+        events = load_note_events(os.path.join(self.csv_dir, name + ".csv"))
+        roll = compute_annotation_array_nooverlap(
+            events, f_hcqt.shape[1], fs_hcqt, annot_type="pitch")
+        out = (np.transpose(f_hcqt, (2, 1, 0)).astype(np.float32),
+               np.asarray(roll, np.float32).T)
+        if self.cache:
+            self._cache[fn] = out
+        return out
+
+
+@dataclass
 class SyntheticCorpus:
     """Synthetic data for smoke runs: file names are derived from the
     experiment's split prefixes so the prefix matching exercises the same

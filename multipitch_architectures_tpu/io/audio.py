@@ -1,0 +1,43 @@
+"""Host-side audio + annotation loading (reference notebook-01 inputs).
+
+The reference's corpus enters as .wav + MusicNet-schema CSV
+(data/MusicNet/csv; sample indices at 44.1 kHz). These helpers feed both
+the precompute example and :class:`..experiments.runner.AudioCorpus`
+(train directly from audio, no precompute step).
+"""
+
+import numpy as np
+
+
+def load_audio(path, fs: int = 22050) -> np.ndarray:
+    """Mono float32 audio at ``fs``: ``.npy`` raw audio passthrough, or
+    ``.wav`` via scipy (stereo averaged, ints normalized, polyphase
+    resample on rate mismatch)."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(path)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if data.dtype.kind == "i":
+        data = data / np.iinfo(data.dtype).max
+    if rate != fs:
+        from scipy.signal import resample_poly
+
+        g = np.gcd(rate, fs)
+        data = resample_poly(data, fs // g, rate // g)
+    return np.asarray(data, np.float32)
+
+
+def load_note_events(csv_path, source_fs: float = 44100.0) -> np.ndarray:
+    """MusicNet csv → (start_sec, end_sec, midi_pitch) rows
+    (01 notebook cell 7: sample indices / 44100)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    cols = {c.lower(): c for c in df.columns}
+    start = df[cols.get("start_time", df.columns[0])].to_numpy() / source_fs
+    end = df[cols.get("end_time", df.columns[1])].to_numpy() / source_fs
+    pitch = df[cols.get("note", df.columns[3])].to_numpy()
+    return np.stack([start, end, pitch], axis=1)

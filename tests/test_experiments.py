@@ -296,3 +296,48 @@ def test_runner_resume_continues_from_checkpoint(tmp_path):
                             logger=logging.getLogger("resume2"))
     # epochs 1..2 remain after resuming past the checkpointed epoch 0
     assert len(second["history"]["train_loss"]) == 2
+
+
+def test_audio_corpus_matches_precompute_pipeline(tmp_path):
+    """AudioCorpus (train directly from .wav + MusicNet CSV, no
+    precompute step) must produce exactly the features/targets the
+    notebook-01 precompute path writes."""
+    from scipy.io import wavfile
+
+    from multipitch_architectures_tpu.dsp import (
+        compute_annotation_array_nooverlap, compute_efficient_hcqt)
+    from multipitch_architectures_tpu.experiments import AudioCorpus
+
+    fs = 22050
+    t = np.arange(fs * 2) / fs
+    audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    (tmp_path / "audio").mkdir()
+    (tmp_path / "csv").mkdir()
+    wavfile.write(tmp_path / "audio" / "clip.wav", fs,
+                  (audio * 32767).astype(np.int16))
+    # MusicNet schema: sample indices at 44.1 kHz
+    with open(tmp_path / "csv" / "clip.csv", "w") as f:
+        f.write("start_time,end_time,instrument,note\n")
+        f.write("0,44100,1,69\n22050,66150,1,72\n")
+
+    corpus = AudioCorpus(str(tmp_path / "audio"), str(tmp_path / "csv"))
+    inputs, targets = corpus.load("clip.wav")
+    assert inputs.shape[0] == 6 and inputs.shape[2] == 216
+    assert targets.shape == (inputs.shape[1], 128)
+    assert targets[:, 69].any() and targets[:, 72].any()
+
+    # oracle: the precompute path on the int16-roundtripped audio
+    audio_rt = (audio * 32767).astype(np.int16) / 32767.0
+    f_hcqt, fs_hcqt, _ = compute_efficient_hcqt(
+        np.asarray(audio_rt, np.float32), fs=fs, fs_hcqt_target=50,
+        bins_per_octave=36, num_octaves=6)
+    events = np.array([[0.0, 1.0, 69.0], [0.5, 1.5, 72.0]])
+    roll = compute_annotation_array_nooverlap(events, f_hcqt.shape[1],
+                                              fs_hcqt, annot_type="pitch")
+    np.testing.assert_allclose(
+        inputs, np.transpose(f_hcqt, (2, 1, 0)), atol=1e-6)
+    np.testing.assert_array_equal(targets, np.asarray(roll, np.float32).T)
+
+    # cache: second load returns the same arrays without recompute
+    again, _ = corpus.load("clip.wav")
+    assert again is inputs
