@@ -65,7 +65,9 @@ def main():
 
     cfg = load_experiment(args.config, fix_val_split=args.fix_val_split)
     if args.smoke:
-        cfg = _shrink_for_smoke(cfg)
+        from multipitch_architectures_tpu.experiments import shrink_for_smoke
+
+        cfg = shrink_for_smoke(cfg)
         corpus = SyntheticCorpus(cfg, frames=300)
         epochs = args.epochs or 1
     elif args.audio_dir:
@@ -95,32 +97,6 @@ def main():
         fw = results["subsets"][0]["framewise_mean"]
         print(f"Framewise f_measure: {fw.get('f_measure')}")
 
-
-def _shrink_for_smoke(cfg):
-    """Scale the model down for a fast synthetic-data smoke run (keeps the
-    class and code path; attention embed dims follow the bottleneck)."""
-    import dataclasses
-
-    kw = dict(cfg.model_kwargs)
-    kw["n_chan_layers"] = [8, 8, 4, 2]
-    if "scalefac" in kw:
-        kw["scalefac"] = 16
-    if "embed_dim" in kw:
-        if cfg.model_class == "u_net_blstm_varlayers":
-            kw["embed_dim"], kw["hidden_size"] = 416, 208
-        elif cfg.model_class.startswith("u_net_temporal"):
-            kw["scalefac"] = 2
-            kw["embed_dim"] = 1728
-            if "hidden_size" in kw:
-                kw["hidden_size"] = 864
-        else:
-            kw["embed_dim"] = 32
-    if "mlp_dim" in kw:
-        kw["mlp_dim"] = 64
-    if "n_prefilt_layers" in kw:
-        kw["n_prefilt_layers"] = min(kw.get("n_prefilt_layers", 1), 2)
-    tc = dataclasses.replace(cfg.train_config, batch_size=8)
-    return dataclasses.replace(cfg, model_kwargs=kw, train_config=tc)
 
 
 if __name__ == "__main__":

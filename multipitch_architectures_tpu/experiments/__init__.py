@@ -4,6 +4,7 @@
 from .configs import (
     ExperimentConfig,
     available_experiments,
+    shrink_for_smoke,
     load_experiment,
     build_model,
     MODEL_REGISTRY,
@@ -17,6 +18,7 @@ from .splits import (apply_split_to_config, load_split, split_datasets,
 __all__ = [
     "ExperimentConfig",
     "available_experiments",
+    "shrink_for_smoke",
     "load_experiment",
     "build_model",
     "MODEL_REGISTRY",

@@ -225,3 +225,32 @@ def load_experiment(name: str, fix_val_split: bool = False,
         eval_thresh=raw.get("eval_thresh", 0.4),
         raw=raw,
     )
+
+
+def shrink_for_smoke(cfg):
+    """Scale a config's model down for fast synthetic smoke runs while
+    keeping the class and code path (attention embed dims follow the
+    bottleneck geometry; used by ``experiments/run.py --smoke`` and the
+    e2e tests)."""
+    import dataclasses
+
+    kw = dict(cfg.model_kwargs)
+    kw["n_chan_layers"] = [8, 8, 4, 2]
+    if "scalefac" in kw:
+        kw["scalefac"] = 16
+    if "embed_dim" in kw:
+        if cfg.model_class == "u_net_blstm_varlayers":
+            kw["embed_dim"], kw["hidden_size"] = 416, 208
+        elif cfg.model_class.startswith("u_net_temporal"):
+            kw["scalefac"] = 2
+            kw["embed_dim"] = 1728
+            if "hidden_size" in kw:
+                kw["hidden_size"] = 864
+        else:
+            kw["embed_dim"] = 32
+    if "mlp_dim" in kw:
+        kw["mlp_dim"] = 64
+    if "n_prefilt_layers" in kw:
+        kw["n_prefilt_layers"] = min(kw.get("n_prefilt_layers", 1), 2)
+    tc = dataclasses.replace(cfg.train_config, batch_size=8)
+    return dataclasses.replace(cfg, model_kwargs=kw, train_config=tc)

@@ -341,3 +341,25 @@ def test_audio_corpus_matches_precompute_pipeline(tmp_path):
     # cache: second load returns the same arrays without recompute
     again, _ = corpus.load("clip.wav")
     assert again is inputs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "exp180d_musicnet_unet_extremelylarge_doubleselfattn",   # SAUnet + BCE
+    "exp195f_musicnet_unet_extremelylarge_polyphony_softmax",  # PUnet multitask
+])
+def test_flagship_families_end_to_end_smoke(name, tmp_path):
+    """The attention flagship and the multitask PUnet run the FULL
+    runner protocol (train + val + 3-subset stride-1 test) at smoke
+    scale — covers tuple-output inference and the BCE+CE/25 loss through
+    the runner, not just the trainer."""
+    from multipitch_architectures_tpu.experiments import shrink_for_smoke
+
+    cfg = shrink_for_smoke(load_experiment(name))
+    corpus = SyntheticCorpus(cfg, frames=250, n_train_files=2)
+    results = run_experiment(cfg, corpus, str(tmp_path),
+                             max_epochs_override=1,
+                             logger=logging.getLogger("flagship"))
+    assert len(results["subsets"]) == 3
+    fw = results["subsets"][0]["framewise_mean"]
+    assert np.isfinite(fw["f_measure"])
