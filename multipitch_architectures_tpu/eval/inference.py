@@ -46,17 +46,23 @@ def _pad_inputs(inputs, context):
     return jnp.pad(jnp.asarray(inputs), ((0, 0), (half, half + 1), (0, 0)))
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "context"))
-def _window_forward(apply_fn, variables, inputs_padded, centers, context):
+@partial(jax.jit, static_argnames=("apply_fn", "context", "with_aux"))
+def _window_forward(apply_fn, variables, inputs_padded, centers, context,
+                    with_aux=False):
     x = gather_windows(inputs_padded, centers, context)
     y = apply_fn(variables, x)
+    aux = None
     if isinstance(y, tuple):
-        y = y[0]
-    return y.reshape(y.shape[0], -1)          # (B, n_bins)
+        y, aux = y[0], y[1]
+    y = y.reshape(y.shape[0], -1)             # (B, n_bins)
+    if with_aux:
+        return y, (aux.reshape(aux.shape[0], -1)
+                   if aux is not None else jnp.zeros((y.shape[0], 0)))
+    return y
 
 
 def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
-                      compression=10.0, group=None):
+                      compression=10.0, group=None, return_aux=False):
     """Per-frame predictions for a whole recording.
 
     Args:
@@ -70,8 +76,12 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
             whose per-``g`` groups reproduce the reference's ``g``-sized
             test batches exactly, and the tail splits into full groups
             plus a natural-size remainder (its own reference batch).
+        return_aux: also return the model's second output flattened per
+            frame (the polyphony head of the PUnet family, used by the
+            reference's notebook 02) as ``(pred, aux)``.
 
-    Returns: np.ndarray (T, n_bins).
+    Returns: np.ndarray (T, n_bins), or ``(pred, aux (T, n_aux))`` with
+    ``return_aux=True``.
 
     Results are fetched to the host once at the end (a per-batch fetch
     would synchronize every dispatch — expensive through a relayed TPU
@@ -88,7 +98,7 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
         raise ValueError(f"batch_size {batch_size} not a multiple of "
                          f"attention group {group}")
 
-    outs = []
+    outs, auxs = [], []
     start = 0
     while start < t:
         n = min(batch_size, t - start)
@@ -103,10 +113,17 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
             n = (n // group) * group or n
         centers = half + start + np.arange(n)
         y = _window_forward(apply_fn, variables, xp,
-                            jnp.asarray(centers), context)
+                            jnp.asarray(centers), context,
+                            with_aux=return_aux)
+        if return_aux:
+            y, aux = y
+            auxs.append(aux)
         outs.append(y)
         start += n
-    return np.concatenate([np.asarray(y) for y in outs], axis=0)
+    pred = np.concatenate([np.asarray(y) for y in outs], axis=0)
+    if return_aux:
+        return pred, np.concatenate([np.asarray(a) for a in auxs], axis=0)
+    return pred
 
 
 def predict_framewise_sharded(apply_fn, variables, inputs, mesh, context=75,

@@ -322,3 +322,25 @@ def test_quantized_static_scales_close_to_f32():
         model, activation_scales=scales))(variables, x))
     assert (q != f32).any()
     assert np.abs(q - f32).max() < 5e-3
+
+
+def test_predict_framewise_return_aux_polyphony():
+    """return_aux surfaces the PUnet polyphony head per frame (the
+    reference notebook 02 uses both outputs)."""
+    from multipitch_architectures_tpu.models import (
+        SimpleUNetPolyphonyClassifSoftmax)
+
+    model = SimpleUNetPolyphonyClassifSoftmax(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        num_polyphony_steps=24)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    inputs = np.random.RandomState(0).rand(6, 13, 216).astype(np.float32)
+    apply_fn = lambda v, xw: model.apply(v, xw, train=False)
+
+    pred, aux = predict_framewise(apply_fn, variables, inputs,
+                                  batch_size=8, return_aux=True)
+    assert pred.shape == (13, 72) and aux.shape == (13, 24)
+
+    only = predict_framewise(apply_fn, variables, inputs, batch_size=8)
+    np.testing.assert_array_equal(pred, only)
