@@ -81,8 +81,17 @@ def main():
     def apply_fn(v, x):
         return model.apply(v, x, train=False)
 
-    pred = predict_framewise(apply_fn, variables, inputs,
-                             batch_size=args.batch_size)
+    if args.model.startswith("simple_u_net_polyphony") or \
+            "polyphony" in args.model:
+        pred, n_pred = predict_framewise(apply_fn, variables, inputs,
+                                         batch_size=args.batch_size,
+                                         return_aux=True)
+        poly_out = args.out.replace(".npy", "_polyphony.npy")
+        np.save(poly_out, n_pred)
+        print(f"polyphony {n_pred.shape} -> {poly_out}")
+    else:
+        pred = predict_framewise(apply_fn, variables, inputs,
+                                 batch_size=args.batch_size)
     np.save(args.out, pred)
     print(f"prediction {pred.shape} -> {args.out}")
 
