@@ -26,9 +26,11 @@ The windowed mode fuses 250 windows per dispatch with block-diagonal
 grouped attention ('cross_batch:50'), which reproduces the reference
 batches exactly — see ops/attention.py.
 
-Timing is honest for relayed backends: each pipeline is ONE jitted
-executable ending in a checksum whose value is fetched to the host
-(block_until_ready can return at enqueue through the TPU tunnel).
+Timing is honest for relayed backends: each pipeline is a chain of
+jitted executables (one large scan + the protocol tail dispatches)
+ending in a checksum whose value is fetched to the host — the fetch
+syncs the whole dependency chain (block_until_ready can return at
+enqueue through the TPU tunnel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """

@@ -61,6 +61,17 @@ def _window_forward(apply_fn, variables, inputs_padded, centers, context,
     return y
 
 
+def _next_batch_size(remaining, batch_size, group):
+    """Protocol-exact batch drain: full batches, then (with grouped
+    attention) the tail's full groups, then the natural-size remainder —
+    the reference loader's final short batch. Shared by the single-chip
+    and sharded paths so the load-bearing composition rule lives once."""
+    n = min(batch_size, remaining)
+    if group is not None and n < batch_size and n > group:
+        n = (n // group) * group
+    return n
+
+
 def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
                       compression=10.0, group=None, return_aux=False):
     """Per-frame predictions for a whole recording.
@@ -101,16 +112,12 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
     outs, auxs = [], []
     start = 0
     while start < t:
-        n = min(batch_size, t - start)
         # the tail runs at its natural size (one extra compile) rather
         # than padded with duplicate windows: under the reference's
         # cross-batch attention quirk, batch composition changes the
         # outputs of the REAL windows, so padding would break protocol
-        # exactness for the last batch. With grouped attention the tail
-        # first drains its full groups, then the (< group) remainder runs
-        # alone — exactly the reference loader's final short batch.
-        if group is not None and n < batch_size and n > group:
-            n = (n // group) * group or n
+        # exactness for the last batch (_next_batch_size).
+        n = _next_batch_size(t - start, batch_size, group)
         centers = half + start + np.arange(n)
         y = _window_forward(apply_fn, variables, xp,
                             jnp.asarray(centers), context,
@@ -128,7 +135,7 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
 
 def predict_framewise_sharded(apply_fn, variables, inputs, mesh, context=75,
                               per_device_batch=50, compression=10.0,
-                              group=None):
+                              group=None, batch_independent=False):
     """Multi-chip windowed-protocol inference: shard the stride-1 window
     batch over the mesh's ``data`` axis.
 
@@ -141,19 +148,33 @@ def predict_framewise_sharded(apply_fn, variables, inputs, mesh, context=75,
 
     Protocol exactness requires per-device batches to decompose into the
     reference loader's batches, so the model must either be
-    batch-composition independent (``tokens`` attention or no attention)
-    or use grouped ``cross_batch:<g>`` attention with
+    batch-composition independent (``tokens`` attention or no attention —
+    declare it with ``batch_independent=True``) or use grouped
+    ``cross_batch:<g>`` attention with ``group=g`` and
     ``per_device_batch % g == 0`` — then every group of ``g``
     consecutive windows lands whole on one device and reproduces one
     reference test batch exactly, like the single-chip grouped path.
-    Plain (ungrouped) ``cross_batch`` models are rejected by construction
-    here: pass ``group`` (and build the model with ``cross_batch:<g>``).
+    One of the two MUST be stated: a plain (ungrouped) ``cross_batch``
+    model would silently change its outputs with the fused batch size
+    (the repo's own dense-mode evidence shows batch-composition changes
+    are catastrophic for trained attention checkpoints), so calling with
+    neither ``group`` nor ``batch_independent`` raises.
 
     The tail (< ``n_data * per_device_batch`` windows) drains through the
-    single-device path with identical batch composition.
+    single-device path with identical batch composition. ``variables``
+    are placed replicated on every call — pre-place them (device_put with
+    a replicated NamedSharding on the same mesh) when predicting many
+    recordings; an already-placed pytree makes the per-call device_put a
+    no-op.
 
     Returns: np.ndarray (T, n_bins).
     """
+    if group is None and not batch_independent:
+        raise ValueError(
+            "predict_framewise_sharded changes the dispatch batch size; "
+            "pass group=<g> for a cross_batch:<g> model, or "
+            "batch_independent=True for models whose outputs do not "
+            "depend on batch composition (no attention / 'tokens' mode)")
     n_data = int(mesh.shape["data"])
     if group is not None and per_device_batch % group:
         raise ValueError(f"per_device_batch {per_device_batch} not a "
@@ -180,12 +201,10 @@ def predict_framewise_sharded(apply_fn, variables, inputs, mesh, context=75,
                                     context, batch_shard)
         outs.append(y)
         start += super_batch
-    # tail: single-device, reference batch composition (same loop as
-    # predict_framewise)
+    # tail: single-device, reference batch composition (same
+    # _next_batch_size rule as predict_framewise)
     while start < t:
-        n = min(per_device_batch, t - start)
-        if group is not None and n < per_device_batch and n > group:
-            n = (n // group) * group or n
+        n = _next_batch_size(t - start, per_device_batch, group)
         centers = half + start + np.arange(n)
         outs.append(_window_forward(apply_fn, variables, xp,
                                     jnp.asarray(centers), context))

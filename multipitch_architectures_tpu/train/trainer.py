@@ -332,6 +332,13 @@ class Trainer:
                 # an empty val iterator must not masquerade as perfect loss
                 val_loss = vaccum / vn if vn else None
 
+            if cfg.scheduler == "Noam":
+                # the schedule lives inside optax; refresh the logged lr
+                # to the rate applied by this epoch's most recent update
+                # (reference noam_opt._rate, lr_schedulers.py:31) BEFORE
+                # the epoch line, not after
+                self.lr = self._noam.rate(int(state.step) + 1)
+
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
             history["lr"].append(self.lr)
@@ -345,11 +352,6 @@ class Trainer:
             if self.scheduler is not None and cfg.scheduler == \
                     "ReduceLROnPlateau":
                 self.lr = self.scheduler.step(metric)
-            elif cfg.scheduler == "Noam":
-                # logging only: the schedule itself lives inside optax;
-                # report the rate applied by the most recent update
-                # (reference noam_opt._rate, lr_schedulers.py:31)
-                self.lr = self._noam.rate(int(state.step) + 1)
 
             if es is not None:
                 # the run's first epoch checkpoints when there is no

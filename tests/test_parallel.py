@@ -174,5 +174,22 @@ def test_sharded_framewise_attention_free_any_batching():
         batch_size=50)
     got = predict_framewise_sharded(
         lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
-        make_mesh(8), per_device_batch=5)
+        make_mesh(8), per_device_batch=5, batch_independent=True)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sharded_framewise_requires_composition_declaration():
+    """Neither group= nor batch_independent= -> loud error (a plain
+    cross_batch model would silently change outputs with the fused batch
+    size)."""
+    import pytest
+
+    from multipitch_architectures_tpu.eval import predict_framewise_sharded
+
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    with pytest.raises(ValueError, match="batch_independent"):
+        predict_framewise_sharded(
+            lambda v, xw: model.apply(v, xw, train=False), variables,
+            np.zeros((6, 20, 216), np.float32), make_mesh(8))
