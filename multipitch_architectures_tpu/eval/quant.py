@@ -83,17 +83,18 @@ def quantized_conv_static(x, kernel, bias, strides, padding, x_scale):
 
 
 def _plain_conv(mod) -> bool:
-    """Only undilated, ungrouped convs are quantized; anything else falls
-    through to the exact f32 path (the replayed conv below does not
-    carry dilation/group attributes, so silently quantizing them would
-    compute the wrong thing)."""
+    """Only undilated, ungrouped 2-D convs are quantized; anything else
+    falls through to the exact f32 path (the replayed conv below assumes
+    a rank-4 HWIO kernel and carries no dilation/group attributes, so
+    silently quantizing e.g. a 1-D conv would reduce the wrong axes)."""
 
     def unit(v):
         return v is None or v == 1 or tuple(np.atleast_1d(v)) in ((1,),
                                                                   (1, 1))
 
     return (unit(mod.kernel_dilation) and unit(mod.input_dilation)
-            and mod.feature_group_count == 1)
+            and mod.feature_group_count == 1
+            and mod.variables["params"]["kernel"].ndim == 4)
 
 
 def make_int8_interceptor(min_kernel_elems: int = 4096,

@@ -22,6 +22,13 @@ def load_audio(path, fs: int = 22050) -> np.ndarray:
         data = data.mean(axis=1)
     if data.dtype.kind == "i":
         data = data / np.iinfo(data.dtype).max
+    elif data.dtype.kind == "u":
+        # 8-bit WAVs are unsigned with a mid-scale zero (128 for uint8):
+        # remove the DC offset, then scale to [-1, 1)
+        half_range = (np.iinfo(data.dtype).max + 1) / 2.0
+        data = (data.astype(np.float32) - half_range) / half_range
+    elif data.dtype.kind != "f":
+        raise ValueError(f"unsupported WAV sample format {data.dtype}")
     if rate != fs:
         from scipy.signal import resample_poly
 

@@ -361,8 +361,20 @@ class Trainer:
                 # clobber the restored best
                 if es.best is None:
                     # patience==0 never records a best (reference
-                    # monitoring.py:23-25 - every epoch "is better")
-                    save = epoch == start_epoch or es.patience == 0
+                    # monitoring.py:23-25 - every epoch "is better").
+                    # A RESUMED run whose checkpoint carried no metric
+                    # (legacy/NaN) must NOT save unconditionally — the
+                    # on-disk best may beat this epoch; wait until
+                    # es.step seeds a comparable best
+                    if start_epoch > 0 and epoch == start_epoch \
+                            and es.patience != 0:
+                        self.logger.warning(
+                            "resumed without a best metric: epoch #%d "
+                            "is not checkpointed unconditionally to "
+                            "avoid clobbering a better on-disk best",
+                            epoch)
+                    save = (epoch == start_epoch and start_epoch == 0) \
+                        or es.patience == 0
                 else:
                     save = es.curr_is_better(metric)
                 if save:

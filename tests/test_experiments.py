@@ -343,6 +343,32 @@ def test_audio_corpus_matches_precompute_pipeline(tmp_path):
     assert again is inputs
 
 
+def test_load_audio_normalizes_uint8_and_rejects_unknown(tmp_path):
+    """8-bit WAVs are UNSIGNED (uint8, zero at 128): load_audio must
+    remove the DC offset and scale to [-1, 1) — a raw passthrough would
+    feed 0..255 into the HCQT (ADVICE r2). Unknown sample formats raise
+    instead of silently mis-scaling."""
+    from scipy.io import wavfile
+
+    from multipitch_architectures_tpu.io import load_audio
+
+    fs = 22050
+    t = np.arange(fs // 2) / fs
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    u8 = np.clip(np.round(sig * 127 + 128), 0, 255).astype(np.uint8)
+    wavfile.write(tmp_path / "u8.wav", fs, u8)
+    out = load_audio(str(tmp_path / "u8.wav"), fs)
+    assert out.dtype == np.float32
+    assert abs(out.mean()) < 2e-2                      # DC offset removed
+    np.testing.assert_allclose(out, sig, atol=1.0 / 127)
+
+    # int16 path unchanged: symmetric scaling by iinfo.max
+    i16 = (sig * 32767).astype(np.int16)
+    wavfile.write(tmp_path / "i16.wav", fs, i16)
+    out16 = load_audio(str(tmp_path / "i16.wav"), fs)
+    np.testing.assert_allclose(out16, sig, atol=1.0 / 32000)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", [
     "exp180d_musicnet_unet_extremelylarge_doubleselfattn",   # SAUnet + BCE

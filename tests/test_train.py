@@ -375,6 +375,32 @@ def test_resume_does_not_clobber_better_checkpoint(tmp_path):
     assert (tmp_path / "ck2" / "best").exists()
 
 
+def test_legacy_resume_without_metric_does_not_save_first_epoch(tmp_path):
+    """Resuming from a checkpoint that carried NO metric (legacy/NaN →
+    initial_best unseeded) must not checkpoint the first resumed epoch
+    unconditionally — the on-disk best may be better than that epoch
+    (ADVICE r2). The unconditional baseline save is reserved for FRESH
+    runs (start_epoch == 0); see the companion test above for the fresh
+    and seeded-resume behaviors."""
+    model = BasicCnnSegmSigmoid(n_chan_layers=(4, 4, 2, 1), n_bins_out=72)
+
+    def data(epoch, key):
+        k = jax.random.fold_in(key, 0)
+        x = jax.random.uniform(k, (4, 6, 75, 216))
+        y = (jax.random.uniform(jax.random.fold_in(k, 1),
+                                (4, 1, 1, 72)) > 0.9).astype(jnp.float32)
+        yield x, y
+
+    cfg = TrainConfig(max_epochs=2, batch_size=4, scheduler=None,
+                      early_stopping=True, es_patience=3, loss="bce", seed=0)
+    tr = Trainer(model, cfg)
+    # max_epochs=2 / start_epoch=1: exactly ONE resumed epoch runs
+    tr.fit(data, state=tr.init(jnp.zeros((1, 6, 75, 216))),
+           checkpoint_dir=str(tmp_path / "ck"), start_epoch=1,
+           initial_best=None)
+    assert not (tmp_path / "ck" / "best").exists()
+
+
 def test_restore_accepts_pre_lr_metric_checkpoints(tmp_path):
     """Checkpoints written before the lr/metric fields existed restore
     with defaults instead of raising."""
