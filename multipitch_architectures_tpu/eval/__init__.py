@@ -12,6 +12,7 @@ from .inference import (predict_framewise, predict_framewise_sharded,
                         predict_dense, predict_dense_chunked)
 from .quant import (quantized_apply_fn, quantized_conv,
                     calibrate_activation_scales, make_int8_interceptor)
+from .shared_inc import SharedIncForward, predict_framewise_shared
 
 __all__ = [
     "calculate_single_measure",
@@ -28,4 +29,6 @@ __all__ = [
     "quantized_conv",
     "make_int8_interceptor",
     "calibrate_activation_scales",
+    "SharedIncForward",
+    "predict_framewise_shared",
 ]

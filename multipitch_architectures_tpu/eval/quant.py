@@ -128,7 +128,9 @@ def make_int8_interceptor(min_kernel_elems: int = 4096,
 
 
 def calibrate_activation_scales(model, variables, sample_inputs,
-                                min_kernel_elems: int = 4096):
+                                min_kernel_elems: int = 4096,
+                                percentile: float = None,
+                                margin: float = 1.0):
     """Per-conv activation scales from representative inputs.
 
     Runs JITTED f32 forwards with a trace-time capturing interceptor:
@@ -137,7 +139,17 @@ def calibrate_activation_scales(model, variables, sample_inputs,
     (an eager per-op forward would crawl through a relayed TPU backend).
     Returns {module-path: max_abs / 127} for :func:`quantized_apply_fn`.
     Calibrate on windows drawn from the serving distribution (e.g. a few
-    protocol batches of the recording, or training windows)."""
+    protocol batches of the recording, or training windows).
+
+    Args:
+        percentile: if set (e.g. 99.9), each batch contributes the given
+            percentile of |x| instead of the max — trades outlier
+            clipping for finer rounding on the bulk of values.
+        margin: headroom multiplier on the calibrated scale; >1 protects
+            serving inputs whose activations exceed the calibration range
+            (measured: margin 1.25 pulls static-scale drift on trained
+            checkpoints under the 1e-3 gate, perf/int8_calibration_study).
+    """
     import jax as _jax
 
     keys = []
@@ -154,7 +166,9 @@ def calibrate_activation_scales(model, variables, sample_inputs,
                     and mod.variables["params"]["kernel"].size
                     >= min_kernel_elems and _plain_conv(mod)):
                 keys.append("/".join(mod.path))
-                captured.append(jnp.max(jnp.abs(args[0])))
+                a = jnp.abs(args[0])
+                captured.append(jnp.percentile(a, percentile)
+                                if percentile is not None else jnp.max(a))
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(capture):
@@ -168,7 +182,7 @@ def calibrate_activation_scales(model, variables, sample_inputs,
         # `keys` holds the most recent trace's order; cached calls keep it
         for k, v in zip(list(keys), vals):
             maxes[k] = max(maxes.get(k, 0.0), float(v))
-    return {k: max(v, 1e-12) / 127.0 for k, v in maxes.items()}
+    return {k: max(v * margin, 1e-12) / 127.0 for k, v in maxes.items()}
 
 
 def quantized_apply_fn(model, min_kernel_elems: int = 4096,

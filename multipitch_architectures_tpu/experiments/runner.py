@@ -63,7 +63,15 @@ class AudioCorpus:
     ``audio_dir/<name>.wav|.npy`` + ``csv_dir/<name>.csv`` (MusicNet
     schema) → on-device efficient HCQT (streamed via ``chunk_frames``
     for long recordings) + rasterized pitch roll, computed at load time
-    and cached in-process (an epoch re-reads every file)."""
+    and LRU-cached in-process (an epoch re-reads every file).
+
+    RAM math: f32 HCQT is 6×216×4 B per frame at ~43 Hz ≈ 13.4 MB per
+    audio minute, so a MusicNet-scale corpus (~34 h) is ~27 GB — the
+    default ``cache_bytes`` (8 GiB ≈ 10 h of audio) bounds residency;
+    least-recently-used recordings recompute on the next epoch. Set
+    ``cache_bytes=None`` for an unbounded cache (small corpora), or
+    precompute to .npy and use :class:`NpyCorpus` + the native mmap
+    loader when recomputation is too slow."""
 
     audio_dir: str
     csv_dir: str
@@ -72,9 +80,14 @@ class AudioCorpus:
     bins_per_octave: int = 36
     chunk_frames: Optional[int] = None
     cache: bool = True
+    cache_bytes: Optional[int] = 8 << 30
 
     def __post_init__(self):
-        self._cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, Tuple[np.ndarray, np.ndarray]]" = \
+            OrderedDict()
+        self._cache_nbytes = 0
 
     def files(self) -> List[str]:
         return sorted(fn for fn in os.listdir(self.audio_dir)
@@ -82,6 +95,7 @@ class AudioCorpus:
 
     def load(self, fn: str) -> Tuple[np.ndarray, np.ndarray]:
         if fn in self._cache:
+            self._cache.move_to_end(fn)               # LRU refresh
             return self._cache[fn]
         from ..dsp import (compute_annotation_array_nooverlap,
                            compute_efficient_hcqt)
@@ -98,8 +112,15 @@ class AudioCorpus:
             events, f_hcqt.shape[1], fs_hcqt, annot_type="pitch")
         out = (np.transpose(f_hcqt, (2, 1, 0)).astype(np.float32),
                np.asarray(roll, np.float32).T)
-        if self.cache:
+        nbytes = out[0].nbytes + out[1].nbytes
+        if self.cache and (self.cache_bytes is None
+                           or nbytes <= self.cache_bytes):
             self._cache[fn] = out
+            self._cache_nbytes += nbytes
+            while (self.cache_bytes is not None
+                   and self._cache_nbytes > self.cache_bytes):
+                _, old = self._cache.popitem(last=False)
+                self._cache_nbytes -= old[0].nbytes + old[1].nbytes
         return out
 
 

@@ -344,3 +344,86 @@ def test_predict_framewise_return_aux_polyphony():
 
     only = predict_framewise(apply_fn, variables, inputs, batch_size=8)
     np.testing.assert_array_equal(pred, only)
+
+
+def test_shared_inc_matches_windowed_protocol():
+    """predict_framewise_shared (cross-window sharing of the ``inc``
+    interior, eval/shared_inc.py) must be float-reassociation-close to
+    the exact windowed protocol, including the natural-size tail and the
+    grouped cross-batch composition (exp180d…py:427-443 batching)."""
+    from multipitch_architectures_tpu.eval import predict_framewise_shared
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    kw = dict(n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+              embed_dim=32, num_heads=8, mlp_dim=64,
+              pos_encoding="sinusoidal")
+    model = SimpleUNetDoubleSelfAttn(**kw)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    inputs = np.random.RandomState(7).rand(6, 133, 216).astype(np.float32)
+
+    want = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
+        batch_size=50)
+    got = predict_framewise_shared(model, variables, inputs, batch_size=50)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # grouped cross-batch attention: tail 33 -> one full 25-group + 8
+    grouped = SimpleUNetDoubleSelfAttn(**kw, attn_mode="cross_batch:25")
+    want_g = predict_framewise(
+        lambda v, xw: grouped.apply(v, xw, train=False), variables, inputs,
+        batch_size=50, group=25)
+    got_g = predict_framewise_shared(grouped, variables, inputs,
+                                     batch_size=50, group=25)
+    np.testing.assert_allclose(got_g, want_g, atol=2e-5)
+
+
+def test_shared_inc_polyphony_aux_and_int8():
+    """shared-inc composes with the PUnet aux head and the int8 serving
+    interceptor (downstream convs quantized, shared ``inc`` kept f32)."""
+    from multipitch_architectures_tpu.eval import predict_framewise_shared
+    from multipitch_architectures_tpu.models import (
+        SimpleUNetDoubleSelfAttn, SimpleUNetDoubleSelfAttnPolyphony)
+
+    pu = SimpleUNetDoubleSelfAttnPolyphony(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    variables = pu.init({"params": jax.random.PRNGKey(1)},
+                        jnp.zeros((1, 6, 75, 216)), train=False)
+    inputs = np.random.RandomState(8).rand(6, 23, 216).astype(np.float32)
+    want, want_aux = predict_framewise(
+        lambda v, xw: pu.apply(v, xw, train=False), variables, inputs,
+        batch_size=16, return_aux=True)
+    got, got_aux = predict_framewise_shared(pu, variables, inputs,
+                                            batch_size=16, return_aux=True)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got_aux, want_aux, atol=2e-5)
+
+    sa = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    v2 = sa.init({"params": jax.random.PRNGKey(2)},
+                 jnp.zeros((1, 6, 75, 216)), train=False)
+    f32 = predict_framewise(
+        lambda v, xw: sa.apply(v, xw, train=False), v2, inputs,
+        batch_size=16)
+    q = predict_framewise_shared(sa, v2, inputs, batch_size=16, int8=True)
+    assert (q != f32).any()                       # int8 path actually taken
+    assert np.abs(q - f32).max() < 5e-3
+
+
+def test_shared_inc_rejects_unsupported_double_conv_branches():
+    """alt_order / residual / inc_residual change the ``inc`` arithmetic
+    the shared path reimplements — they must refuse, not silently drift."""
+    import pytest as _pytest
+
+    from multipitch_architectures_tpu.eval import SharedIncForward
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    kw = dict(n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+              embed_dim=32, num_heads=8, mlp_dim=64)
+    with _pytest.raises(ValueError, match="alt_order/residual"):
+        SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, alt_order=True))
+    with _pytest.raises(ValueError, match="alt_order/residual"):
+        SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, residual=True))

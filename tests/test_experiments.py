@@ -389,3 +389,40 @@ def test_flagship_families_end_to_end_smoke(name, tmp_path):
     assert len(results["subsets"]) == 3
     fw = results["subsets"][0]["framewise_mean"]
     assert np.isfinite(fw["f_measure"])
+
+
+def test_audio_corpus_cache_byte_bound(tmp_path):
+    """cache_bytes bounds AudioCorpus residency with LRU eviction: with a
+    cap that fits only one recording, loads still return correct arrays
+    (recompute on miss) and the cache never exceeds the budget."""
+    from scipy.io import wavfile
+
+    from multipitch_architectures_tpu.experiments import AudioCorpus
+
+    fs = 22050
+    (tmp_path / "audio").mkdir()
+    (tmp_path / "csv").mkdir()
+    t = np.arange(fs) / fs
+    for i, f0 in enumerate((330.0, 440.0)):
+        audio = (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        wavfile.write(tmp_path / "audio" / f"c{i}.wav", fs,
+                      (audio * 32767).astype(np.int16))
+        with open(tmp_path / "csv" / f"c{i}.csv", "w") as f:
+            f.write("start_time,end_time,instrument,note\n")
+            f.write(f"0,44100,1,{64 + i}\n")
+
+    unbounded = AudioCorpus(str(tmp_path / "audio"), str(tmp_path / "csv"),
+                            cache_bytes=None)
+    assert unbounded.files() == ["c0.wav", "c1.wav"]
+    want = {fn: unbounded.load(fn) for fn in unbounded.files()}
+    one_size = want["c0.wav"][0].nbytes + want["c0.wav"][1].nbytes
+
+    corpus = AudioCorpus(str(tmp_path / "audio"), str(tmp_path / "csv"),
+                         cache_bytes=int(one_size * 1.5))
+    for _epoch in range(2):                       # epochs keep re-reading
+        for fn in corpus.files():
+            got = corpus.load(fn)
+            np.testing.assert_array_equal(got[0], want[fn][0])
+            np.testing.assert_array_equal(got[1], want[fn][1])
+            assert corpus._cache_nbytes <= corpus.cache_bytes
+    assert len(corpus._cache) == 1                # LRU evicted the other
