@@ -64,6 +64,16 @@ def cmd_export(args):
         variables = model.init({"params": jax.random.PRNGKey(0)},
                                jnp.zeros((1, 6, 75, 216)), train=False)
 
+    if args.group:
+        if args.batch_size % args.group:
+            sys.exit(f"--batch-size {args.batch_size} must be a multiple "
+                     f"of --group {args.group}")
+        batch_mode = f"grouped:{args.group}"
+    elif "cross_batch" in str(getattr(model, "attn_mode", "")):
+        batch_mode = "cross_batch"
+    else:
+        batch_mode = "independent"
+
     apply_fn = lambda v, x: model.apply(v, x, train=False)
     if args.int8:
         # W8A8 conv serving mode (eval/quant.py) with scales calibrated
@@ -88,16 +98,54 @@ def cmd_export(args):
                 cal.append(np.stack([xp[:, c - half:c + half + 1, :]
                                      for c in centers]))
         else:
+            print("WARNING: --int8 without --calibrate-hcqt calibrates "
+                  "activation scales on random noise; real recordings "
+                  "whose activations exceed that range will clip. Pass "
+                  "--calibrate-hcqt with a representative HCQT .npy.",
+                  file=sys.stderr)
             rng = np.random.RandomState(0)
             cal = [np.log1p(10.0 * rng.rand(50, 6, 75, 216)
                             .astype(np.float32))]
-        scales = calibrate_activation_scales(model, variables, cal)
+        scales = calibrate_activation_scales(
+            model, variables, cal, percentile=args.calibrate_percentile,
+            margin=args.calibrate_margin)
+
+        # export-time accuracy gate (VERDICT r2): measure the f32-vs-int8
+        # drift on the calibration windows; refuse above the 1e-3 gate
+        from multipitch_architectures_tpu.eval import int8_drift_report
+
+        report = int8_drift_report(model, variables, cal,
+                                   activation_scales=scales,
+                                   gate=args.drift_gate)
+        print(f"int8 drift on calibration windows: worst measure "
+              f"{report['worst']:.2e} (gate {report['gate']:.0e}), "
+              f"pred max {report['pred_max']:.2e} "
+              f"mean {report['pred_mean']:.2e}"
+              + (f", skipped degenerate: {report['skipped']}"
+                 if report["skipped"] else ""))
+        for k in sorted(report["measures"], key=report["measures"].get,
+                        reverse=True)[:5]:
+            print(f"  {k:28s} {report['measures'][k]:.2e}")
+        if not report["passed"]:
+            msg = (f"int8 export REFUSED: worst measure drift "
+                   f"{report['worst']:.2e} exceeds the {report['gate']:.0e}"
+                   f" gate. Calibrate on representative data "
+                   f"(--calibrate-hcqt), raise --calibrate-margin, or pass"
+                   f" --allow-drift to export anyway.")
+            if not args.allow_drift:
+                sys.exit(msg)
+            print("WARNING: " + msg.replace("REFUSED", "exceeds gate"),
+                  file=sys.stderr)
         apply_fn = quantized_apply_fn(model, activation_scales=scales)
 
     blob = export_window_forward(
         apply_fn, variables, batch_size=args.batch_size,
         platforms=tuple(args.platforms.split(",")) if args.platforms
-        else None)
+        else None,
+        batch_mode=batch_mode,
+        meta=dict(model=args.model, int8=bool(args.int8),
+                  checkpoint=os.path.basename(args.checkpoint)
+                  if args.checkpoint else None))
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB, "
@@ -133,6 +181,16 @@ def main():
                         " (eval/quant.py; ~15%% faster windowed serving)")
     e.add_argument("--calibrate-hcqt",
                    help="HCQT .npy for int8 activation calibration")
+    e.add_argument("--calibrate-percentile", type=float, default=None,
+                   help="calibrate on this percentile of |x| instead of "
+                        "the max (e.g. 99.9)")
+    e.add_argument("--calibrate-margin", type=float, default=1.0,
+                   help="headroom multiplier on calibrated scales")
+    e.add_argument("--drift-gate", type=float, default=1e-3,
+                   help="max allowed int8 measure drift on the "
+                        "calibration windows")
+    e.add_argument("--allow-drift", action="store_true",
+                   help="export even if the drift gate fails (warns)")
     e.add_argument("--batch-size", type=int, default=50)
     e.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms, e.g. tpu,cpu")

@@ -11,7 +11,8 @@ from .mireval import calculate_mpe_measures_mireval, midi_to_hz
 from .inference import (predict_framewise, predict_framewise_sharded,
                         predict_dense, predict_dense_chunked)
 from .quant import (quantized_apply_fn, quantized_conv,
-                    calibrate_activation_scales, make_int8_interceptor)
+                    calibrate_activation_scales, make_int8_interceptor,
+                    int8_drift_report)
 from .shared_inc import SharedIncForward, predict_framewise_shared
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "quantized_conv",
     "make_int8_interceptor",
     "calibrate_activation_scales",
+    "int8_drift_report",
     "SharedIncForward",
     "predict_framewise_shared",
 ]

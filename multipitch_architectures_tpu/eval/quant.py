@@ -185,6 +185,83 @@ def calibrate_activation_scales(model, variables, sample_inputs,
     return {k: max(v * margin, 1e-12) / 127.0 for k, v in maxes.items()}
 
 
+DRIFT_GATE_MEASURES = (
+    "precision", "recall", "f_measure", "cosine_sim",
+    "binary_crossentropy", "euclidean_distance", "binary_accuracy",
+    "soft_accuracy", "accum_energy", "roc_auc_measure",
+    "average_precision_score")
+
+
+def int8_drift_report(model, variables, cal_windows, activation_scales=None,
+                      min_kernel_elems: int = 4096, threshold: float = 0.4,
+                      min_pitch: int = 24, gate: float = 1e-3):
+    """Export-time accuracy gate for the int8 serving mode.
+
+    Ground truth is unavailable at export time, so the f32 forward's own
+    thresholded predictions serve as pseudo-targets: for each evaluation
+    measure ``m`` the drift is ``|m(pseudo, int8) - m(pseudo, f32)|``
+    over the calibration windows — zero when int8 reproduces f32, and a
+    faithful proxy for the true-target measure drift the repo's trained
+    checkpoint studies gate on (perf/int8_calibration_study.py validates
+    the two track each other).
+
+    Args:
+        cal_windows: iterable of ``(B, 6, context, n_bins)`` window
+            batches — the same batches passed to
+            :func:`calibrate_activation_scales`.
+        activation_scales: static scales (None = dynamic per-call mode).
+        gate: the measure-drift threshold (the repo-wide 1e-3 F-gate).
+
+    Returns dict with ``worst`` (max measure drift), ``measures`` (per
+    measure), ``pred_max`` / ``pred_mean`` (raw prediction deltas),
+    ``skipped`` (measures degenerate under pseudo-targets, e.g. ROC-AUC
+    when every pseudo-label agrees) and ``passed`` (worst <= gate).
+    """
+    from .measures import calculate_eval_measures
+    from .mireval import calculate_mpe_measures_mireval
+
+    f32_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    q_fn = jax.jit(quantized_apply_fn(model, min_kernel_elems,
+                                      activation_scales))
+
+    def run(fn):
+        outs = []
+        for x in cal_windows:
+            y = fn(variables, jnp.asarray(x))
+            if isinstance(y, tuple):
+                y = y[0]
+            outs.append(np.asarray(y).reshape(y.shape[0], -1))
+        return np.concatenate(outs, axis=0)
+
+    pred_f, pred_q = run(f32_fn), run(q_fn)
+    pseudo = (pred_f > threshold).astype(np.float32)
+
+    drift, skipped = {}, []
+    for m in DRIFT_GATE_MEASURES:
+        try:
+            a = calculate_eval_measures(pseudo, pred_f, [m], threshold)[m]
+            b = calculate_eval_measures(pseudo, pred_q, [m], threshold)[m]
+        except ValueError:                  # degenerate pseudo-targets
+            skipped.append(m)               # (single-class ROC-AUC raises)
+            continue
+        if np.isfinite(a) and np.isfinite(b):
+            drift[m] = abs(a - b)
+        else:                               # sklearn returns NaN + warning
+            skipped.append(m)               # for single-class AP
+    mf = calculate_mpe_measures_mireval(pseudo, pred_f, threshold=threshold,
+                                        min_pitch=min_pitch)
+    mq = calculate_mpe_measures_mireval(pseudo, pred_q, threshold=threshold,
+                                        min_pitch=min_pitch)
+    for k in mf:
+        drift[k] = abs(mf[k] - mq[k])
+
+    worst = max(drift.values()) if drift else float("inf")
+    return dict(worst=worst, measures=drift, skipped=skipped,
+                pred_max=float(np.abs(pred_f - pred_q).max()),
+                pred_mean=float(np.abs(pred_f - pred_q).mean()),
+                gate=gate, passed=bool(drift) and worst <= gate)
+
+
 def quantized_apply_fn(model, min_kernel_elems: int = 4096,
                        activation_scales=None):
     """``(variables, x) -> y`` forward with int8 convs — a drop-in for
