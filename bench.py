@@ -109,30 +109,73 @@ def main():
         y = model.apply(variables, xp, train=False)
         return jnp.sum(y.astype(jnp.float32))
 
-    @jax.jit
-    def windowed_pipeline(variables, audio, centers_mat):
-        xp = features(audio)
+    def make_windowed(apply_batch):
+        """Full windowed-protocol pipeline (large scanned dispatches +
+        the protocol tail batches) for any batched window forward —
+        every mode measured over the SAME audio span (all n_frames,
+        tails included) so real-time factors are directly comparable."""
 
-        def body(acc, centers):
-            xw = gather_windows(xp, centers, 75)
-            y = model_grouped.apply(variables, xw, train=False)
-            return acc + jnp.sum(y.astype(jnp.float32)), None
+        @jax.jit
+        def pipeline(variables, audio, centers_mat):
+            xp = features(audio)
 
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                                centers_mat)
-        return total, xp
+            def body(acc, centers):
+                xw = gather_windows(xp, centers, 75)
+                y = apply_batch(variables, xw)
+                return acc + jnp.sum(y.astype(jnp.float32)), None
 
-    @jax.jit
-    def windowed_tail(variables, xp, centers):
-        xw = gather_windows(xp, centers, 75)
-        y = model_grouped.apply(variables, xw, train=False)
-        return jnp.sum(y.astype(jnp.float32))
+            total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    centers_mat)
+            return total, xp
 
-    def windowed_full(variables, audio):
-        total, xp = windowed_pipeline(variables, audio, centers_mat)
-        for c in tail_chunks:
-            total = total + windowed_tail(variables, xp, c)
-        return total
+        @jax.jit
+        def tail(variables, xp, centers):
+            y = apply_batch(variables, gather_windows(xp, centers, 75))
+            return jnp.sum(y.astype(jnp.float32))
+
+        def full(variables, audio):
+            total, xp = pipeline(variables, audio, centers_mat)
+            for c in tail_chunks:
+                total = total + tail(variables, xp, c)
+            return total
+
+        return full
+
+    def make_windowed_shared(fwd):
+        """Windowed protocol with the shared-``inc`` forward
+        (eval/shared_inc.py): dense LayerNorm+inc once per recording,
+        interior rows reused across all windows, exact edge rows —
+        same dispatch structure and audio span as make_windowed."""
+
+        @jax.jit
+        def pipeline(variables, audio, centers_mat):
+            xp = features(audio)
+            ln_dense, inc_dense = fwd._precompute_impl(variables, xp)
+
+            def body(acc, centers):
+                y = fwd._forward_impl(variables, ln_dense, inc_dense,
+                                      centers)
+                return acc + jnp.sum(y.astype(jnp.float32)), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    centers_mat)
+            return total, ln_dense, inc_dense
+
+        @jax.jit
+        def tail(variables, ln_dense, inc_dense, centers):
+            y = fwd._forward_impl(variables, ln_dense, inc_dense, centers)
+            return jnp.sum(y.astype(jnp.float32))
+
+        def full(variables, audio):
+            total, ln, inc = pipeline(variables, audio, centers_mat)
+            for c in tail_chunks:
+                total = total + tail(variables, ln, inc, c)
+            return total
+
+        return full
+
+    windowed_full = make_windowed(
+        lambda v, xw: model_grouped.apply(v, xw, train=False))
 
     def timed_rt(fn, *args, reps=3):
         float(fn(*args))                       # warm-up / compile
@@ -171,46 +214,68 @@ def main():
         # docstring); U-Nets and attention models must use windowed
         out["dense_serving_rt_cnn_family_only"] = round(dense_rt, 1)
 
+    # the shared-inc f32 mode is float-reassociation-exact vs the
+    # protocol (tests/test_eval.py::test_shared_inc_matches_windowed_
+    # protocol), so it competes for the headline directly
+    if time.perf_counter() - bench_start < budget_s * 0.45:
+        try:
+            from multipitch_architectures_tpu.eval import SharedIncForward
+
+            fwd_f32 = SharedIncForward(model_grouped)
+            rt = timed_rt(make_windowed_shared(fwd_f32), variables,
+                          audio_dev)
+            out["windowed_sharedinc_rt"] = round(rt, 1)
+            if rt > out["value"]:
+                out["value"] = round(rt, 1)
+                out["vs_baseline"] = round(rt / TARGET_RT, 3)
+                out["headline_mode"] = "windowed_sharedinc"
+        except Exception:
+            pass
+
     # calibrated static-scale int8 serving mode: same windowed protocol
-    # composition, conv arithmetic in W8A8 (eval/quant.py). Trained-model
-    # accuracy: all 25 measures within 2.3e-3 of the f32 protocol, F
-    # itself +1.3e-3 (perf/int8_fparity_experiment.py).
+    # composition, conv arithmetic in W8A8 (eval/quant.py). Calibration
+    # policy = margin 1.25 (perf/int8_calibration_study.py: keeps all 25
+    # measures within the 1e-3 gate on trained checkpoints); the export
+    # CLI enforces the gate per checkpoint (int8_drift_report).
     if time.perf_counter() - bench_start < budget_s * 0.6:
         try:
             from multipitch_architectures_tpu.eval import (
-                calibrate_activation_scales, quantized_apply_fn)
+                SharedIncForward, calibrate_activation_scales,
+                quantized_apply_fn)
 
             xp_cal = features(audio_dev)
             cal = [gather_windows(xp_cal, HALF + GROUP * b
                                   + np.arange(GROUP), 75)
                    for b in range(4)]
             scales = calibrate_activation_scales(model_grouped, variables,
-                                                 cal)
+                                                 cal, margin=1.25)
             int8_apply = quantized_apply_fn(model_grouped,
                                             activation_scales=scales)
-
-            @jax.jit
-            def windowed_int8(variables, audio, centers_mat):
-                xp = features(audio)
-
-                def body(acc, centers):
-                    xw = gather_windows(xp, centers, 75)
-                    y = int8_apply(variables, xw)
-                    return acc + jnp.sum(y.astype(jnp.float32)), None
-
-                total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                                        centers_mat)
-                return total
-
-            # full 250-window dispatches only; normalize by the audio
-            # actually covered so the rt is comparable to the headline
-            covered_s = n_full * 512 / FS
-            float(windowed_int8(variables, audio_dev, centers_mat))
-            best = min(_timed(windowed_int8, variables, audio_dev,
-                              centers_mat) for _ in range(3))
-            out["windowed_int8_rt"] = round(covered_s / best, 1)
+            # same denominator as the headline: full dispatches + tails
+            out["windowed_int8_rt"] = round(
+                timed_rt(make_windowed(int8_apply), variables, audio_dev),
+                1)
+            fwd_q = SharedIncForward(model_grouped,
+                                     activation_scales=scales)
+            out["windowed_sharedinc_int8_rt"] = round(
+                timed_rt(make_windowed_shared(fwd_q), variables,
+                         audio_dev), 1)
         except Exception:
             pass
+
+    # speed-of-light accounting for the record (ROADMAP r2 analysis:
+    # the full protocol costs 83.25 GFLOP/window; a bare 8192^3 jnp.dot
+    # achieves 161 TFLOP/s on this v5e = the practical chip peak).
+    # "effective" = protocol FLOPs per wall second — shared-inc EXECUTES
+    # ~6% fewer FLOPs for the same protocol output, so its effective
+    # rate may exceed the executed-FLOP rate.
+    best_rt = max(windowed_rt, out.get("windowed_sharedinc_rt", 0.0))
+    gflop_per_window = 83.25
+    frames_per_sec_audio = FS / 512.0
+    out["protocol_tflops_effective"] = round(
+        best_rt * frames_per_sec_audio * gflop_per_window / 1e3, 1)
+    out["pct_achievable_peak"] = round(
+        100.0 * out["protocol_tflops_effective"] / 161.0, 1)
 
     # multi-chip DP scaling evidence: only when real chips allow it
     # (single-chip anchor: SAUnet:L train step bs=25 = 114.9 ms, ROADMAP).

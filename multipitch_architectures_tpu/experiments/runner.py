@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..data import FileSpec, TrainPipeline
 from ..eval import (calculate_eval_measures, calculate_mpe_measures_mireval,
-                    predict_framewise)
+                    predict_framewise, predict_framewise_sharded)
 from ..train.trainer import Trainer, _Checkpointer
 from .configs import ExperimentConfig
 
@@ -329,6 +329,8 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        predict = _make_test_predict(cfg, model, apply_fn, variables, mesh,
+                                     logger)
 
         subsets = [("large test set (10 files)", cfg.test_versions, None),
                    ("small test set (3 files), first 90s",
@@ -346,15 +348,15 @@ def run_experiment(cfg: ExperimentConfig, corpus, out_dir: str,
         if isinstance(corpus, _MultiCorpus) and cfg.test_versions:
             for ci, (member, _, _) in enumerate(corpus.members):
                 agg = _test_subset(
-                    cfg, member, cfg.test_versions, None, apply_fn,
-                    variables, logger, f"test dataset #{ci}", None)
+                    cfg, member, cfg.test_versions, None, predict,
+                    logger, f"test dataset #{ci}", None)
                 if agg["n_files"]:
                     results["subsets"].append(agg)
         for subset_idx, (desc, versions, max_frames) in enumerate(subsets):
             if not versions:
                 continue
             agg = _test_subset(
-                cfg, corpus, versions, max_frames, apply_fn, variables,
+                cfg, corpus, versions, max_frames, predict,
                 logger, desc,
                 os.path.join(out_dir, "predictions", cfg.name)
                 if store_predictions and subset_idx == 0 else None)
@@ -420,7 +422,64 @@ def _log_startup_config(cfg, logger, do_train, do_val, do_test,
     logger.info("Model parameters: %s", cfg.model_kwargs)
 
 
-def _test_subset(cfg, corpus, versions, max_frames, apply_fn, variables,
+def _make_test_predict(cfg, model, apply_fn, variables, mesh, logger):
+    """The test phase's whole-recording prediction dispatch.
+
+    Single-device: the exact windowed protocol (``predict_framewise``).
+    When the runner's mesh has more than one ``data`` device, the
+    stride-1 window fan-out shards over the data axis instead
+    (``predict_framewise_sharded``, eval/inference.py:136) with
+    reference-exact batch composition: cross-batch-attention models are
+    regrouped as ``cross_batch:<test_batch_size>`` so every per-device
+    group reproduces one reference test batch (exp180d…py:417-426);
+    models without batch-composition dependence dispatch freely."""
+    n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    if n_data > 1:
+        import dataclasses as _dc
+
+        from ..parallel import replicated
+
+        mode = str(getattr(model, "attn_mode", ""))
+        group, independent, m = None, False, model
+        if mode == "cross_batch":
+            m = _dc.replace(model,
+                            attn_mode=f"cross_batch:{cfg.test_batch_size}")
+            group = cfg.test_batch_size
+        elif mode.startswith("cross_batch:"):
+            group = int(mode.split(":", 1)[1])
+        else:
+            independent = True
+        if group is not None and cfg.test_batch_size % group:
+            logger.info("sharded test dispatch disabled: test batch size "
+                        "%d is not a multiple of attention group %d",
+                        cfg.test_batch_size, group)
+        else:
+            sharded_fn = lambda v, x: m.apply(v, x, train=False)
+            placed = jax.device_put(variables, replicated(mesh))
+            logger.info("Test dispatch sharded over %d data devices "
+                        "(per-device batch %d%s)", n_data,
+                        cfg.test_batch_size,
+                        f", attention group {group}" if group else "")
+
+            def predict(inputs):
+                return predict_framewise_sharded(
+                    sharded_fn, placed, inputs, mesh, context=cfg.context,
+                    per_device_batch=cfg.test_batch_size,
+                    compression=cfg.augment.compression, group=group,
+                    batch_independent=independent)
+
+            return predict
+
+    def predict(inputs):
+        return predict_framewise(apply_fn, variables, inputs,
+                                 context=cfg.context,
+                                 batch_size=cfg.test_batch_size,
+                                 compression=cfg.augment.compression)
+
+    return predict
+
+
+def _test_subset(cfg, corpus, versions, max_frames, predict,
                  logger, desc, predictions_dir):
     eval_measures = cfg.eval_measures
     n_files = 0
@@ -439,10 +498,7 @@ def _test_subset(cfg, corpus, versions, max_frames, apply_fn, variables,
         if max_frames is not None:
             inputs = inputs[:, :max_frames, :]
             targets = targets[:max_frames, :]
-        pred = predict_framewise(apply_fn, variables, inputs,
-                                 context=cfg.context,
-                                 batch_size=cfg.test_batch_size,
-                                 compression=cfg.augment.compression)
+        pred = predict(inputs)
         assert pred.shape == targets.shape, (pred.shape, targets.shape)
         if predictions_dir:
             os.makedirs(predictions_dir, exist_ok=True)

@@ -38,13 +38,37 @@ def load_audio(path, fs: int = 22050) -> np.ndarray:
 
 
 def load_note_events(csv_path, source_fs: float = 44100.0) -> np.ndarray:
-    """MusicNet csv → (start_sec, end_sec, midi_pitch) rows
-    (01 notebook cell 7: sample indices / 44100)."""
+    """Note-event CSV → (start_sec, end_sec, midi_pitch) rows.
+
+    Two public schemas are auto-detected (both feed the Exp1-4 corpora):
+
+    - MusicNet: comma-separated, ``start_time``/``end_time`` as SAMPLE
+      indices at 44.1 kHz, pitch in column ``note``
+      (01 notebook cell 7: sample indices / 44100);
+    - SWD / Schubert Winterreise ``ann_audio_note``: SEMICOLON-separated
+      with ``start``/``end`` already in seconds and a ``pitch`` column
+      (the Exp3 corpus; detected via the ';' header + column names).
+
+    Other corpora (Bach10, PHENICX-Anechoic, ChoralSingingDataset) ship
+    bespoke annotation formats — precompute those to .npy pitch rolls
+    (examples/precompute_features.py) and use ``NpyCorpus``, exactly as
+    the reference does for every corpus.
+    """
     import pandas as pd
 
-    df = pd.read_csv(csv_path)
-    cols = {c.lower(): c for c in df.columns}
-    start = df[cols.get("start_time", df.columns[0])].to_numpy() / source_fs
-    end = df[cols.get("end_time", df.columns[1])].to_numpy() / source_fs
-    pitch = df[cols.get("note", df.columns[3])].to_numpy()
+    with open(csv_path) as f:
+        header = f.readline()
+    sep = ";" if header.count(";") > header.count(",") else ","
+    df = pd.read_csv(csv_path, sep=sep)
+    cols = {c.lower().strip(): c for c in df.columns}
+    if "start" in cols and "end" in cols and "pitch" in cols:
+        # SWD schema: seconds already
+        start = df[cols["start"]].to_numpy(dtype=float)
+        end = df[cols["end"]].to_numpy(dtype=float)
+        pitch = df[cols["pitch"]].to_numpy(dtype=float)
+    else:
+        start = df[cols.get("start_time", df.columns[0])].to_numpy() \
+            / source_fs
+        end = df[cols.get("end_time", df.columns[1])].to_numpy() / source_fs
+        pitch = df[cols.get("note", df.columns[3])].to_numpy()
     return np.stack([start, end, pitch], axis=1)

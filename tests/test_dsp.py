@@ -178,3 +178,35 @@ def test_efficient_hcqt_streamed_matches_whole():
     assert (fs_a, hop_a) == (fs_b, hop_b)
     assert streamed.shape == whole.shape
     np.testing.assert_allclose(streamed, whole, atol=2e-5, rtol=1e-4)
+
+
+def test_cqt_matches_committed_oracle_golden():
+    """Regression pin (VERDICT r2 task 8): the committed direct-DFT
+    oracle output for a fixed 4-s clip (tests/goldens/, generated once
+    from cqt_direct_numpy float64). Catches a silent regression in the
+    fast multirate CQT *or* a semantic drift of the oracle itself —
+    without re-running the slow oracle. When librosa or real precomputed
+    HCQT .npy blobs become available, add the true third-party golden
+    beside this one (reference hcqt.py:89-164)."""
+    import os
+
+    from multipitch_architectures_tpu.dsp import CqtPlan, cqt
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "cqt_direct_oracle_4s.npz"))
+    # regenerate the clip from its recorded recipe
+    t = np.arange(int(g["dur_s"]) * int(g["fs"])) / int(g["fs"])
+    rng = np.random.RandomState(int(g["clip_seed"]))
+    y = (np.sin(2 * np.pi * C4 * t) + 0.5 * np.sin(2 * np.pi * 329.6276 * t)
+         + 0.25 * np.sin(2 * np.pi * 440.0 * t)
+         + 1e-3 * rng.randn(len(t))).astype(np.float32)
+    np.testing.assert_array_equal(y, g["audio"])   # recipe is the clip
+
+    plan = CqtPlan.create(int(g["fs"]), int(g["hop"]), float(g["fmin"]),
+                          int(g["n_bins"]), int(g["bins_per_octave"]))
+    x = np.asarray(cqt(y, plan))
+    oracle = g["oracle"]
+    assert x.shape == oracle.shape
+    interior = np.s_[:, 20:-20]                    # skip edge-pad frames
+    rel = np.abs(x[interior] - oracle[interior]).max() / oracle.max()
+    assert rel < 1e-3, rel

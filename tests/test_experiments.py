@@ -426,3 +426,186 @@ def test_audio_corpus_cache_byte_bound(tmp_path):
             np.testing.assert_array_equal(got[1], want[fn][1])
             assert corpus._cache_nbytes <= corpus.cache_bytes
     assert len(corpus._cache) == 1                # LRU evicted the other
+
+
+def test_runner_test_phase_shards_over_data_mesh(tmp_path):
+    """With a multi-device mesh, the runner's test protocol dispatches
+    through predict_framewise_sharded (cross-batch attention regrouped to
+    per-reference-batch groups) and reproduces the single-device results
+    (VERDICT r2 task 4)."""
+    import dataclasses
+
+    from multipitch_architectures_tpu.experiments import shrink_for_smoke
+    from multipitch_architectures_tpu.parallel import make_mesh
+
+    cfg = shrink_for_smoke(
+        load_experiment(
+            "exp180d_musicnet_unet_extremelylarge_doubleselfattn"))
+    assert "cross_batch" in str(
+        cfg.build_model().attn_mode)            # the regrouping path
+    cfg = dataclasses.replace(cfg, test_batch_size=25)
+    corpus = SyntheticCorpus(cfg, frames=250, n_train_files=1)
+
+    kw = dict(do_train=False, do_val=False, store_predictions=True,
+              store_results_filewise=False)
+    single = run_experiment(cfg, corpus, str(tmp_path / "single"),
+                            logger=logging.getLogger("shard_single"), **kw)
+
+    log = logging.getLogger("shard_mesh")
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    log.addHandler(Capture())
+    sharded = run_experiment(cfg, corpus, str(tmp_path / "mesh"),
+                             mesh=make_mesh(8), logger=log, **kw)
+    assert any("Test dispatch sharded over 8 data devices" in m
+               for m in records)
+
+    for s_sub, m_sub in zip(single["subsets"], sharded["subsets"]):
+        assert s_sub["n_files"] == m_sub["n_files"]
+        for key in s_sub["framewise_mean"]:
+            assert m_sub["framewise_mean"][key] == pytest.approx(
+                s_sub["framewise_mean"][key], abs=1e-5), key
+    # the stored stride-1 predictions themselves match
+    for p in (tmp_path / "single" / "predictions" / cfg.name).glob("*.npy"):
+        a = np.load(p)
+        b = np.load(tmp_path / "mesh" / "predictions" / cfg.name / p.name)
+        np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+def test_family_golden_exp126a_cnn():
+    """Field-by-field golden vs exp126a_musicnet_cnn_basic.py:38-138
+    (Exp1 CNN family) — catches silent registry mis-extraction."""
+    cfg = load_experiment("exp126a_musicnet_cnn_basic")
+    assert cfg.family == "Exp1_SectionIV-B"
+    assert cfg.model_class == "basic_cnn_segm_sigmoid"
+    assert cfg.model_kwargs["n_chan_layers"] == [20, 20, 10, 1]
+    assert cfg.model_kwargs["a_lrelu"] == 0.3
+    assert cfg.model_kwargs["p_dropout"] == 0.2
+    assert cfg.model_kwargs["n_bins_in"] == 216
+    assert (cfg.train_stride, cfg.val_stride, cfg.test_stride) == (50, 50, 1)
+    assert cfg.train_config.batch_size == 25
+    assert cfg.val_batch_size == 50 and cfg.test_batch_size == 50
+    assert cfg.train_config.max_epochs == 100
+    assert cfg.train_config.loss == "bce"
+    assert cfg.train_config.initial_lr == 0.001
+    assert cfg.train_config.betas == (0.9, 0.999)
+    assert cfg.train_config.weight_decay == 0.01
+    assert cfg.train_config.scheduler == "ReduceLROnPlateau"
+    sp = cfg.train_config.scheduler_params
+    assert (sp["factor"], sp["patience"], sp["min_lr"]) == (0.5, 5, 1e-6)
+    assert cfg.train_config.es_min_delta == 1e-5
+    assert cfg.train_config.es_patience == 12
+    assert cfg.train_config.es_percentage is False
+    a = cfg.augment
+    assert (a.transposition, a.randomeq, a.noisestd, a.tuning,
+            a.compression) == (5, 20, 1e-4, True, 10)
+    assert cfg.train_config.max_train_batches is None   # not a moresamples run
+    assert cfg.test_versions[0] == "2303_" and cfg.test_versions[-1] == "2629_"
+    assert cfg.test_versions_small == ["2303_", "1819_", "2382_"]
+
+
+def test_family_golden_retrain4_exp128c_moresamples():
+    """Golden vs RETRAIN4_exp128c…moresamples.py:39-76,247-253,345-346
+    (Exp2: deep resnet-wide CNN, stride-20 moresamples cap, 6 extra
+    test subsets)."""
+    cfg = load_experiment(
+        "RETRAIN4_exp128c_musicnet_cnn_deepresnetwide_moresamples")
+    assert cfg.family == "Exp2_SectionIV-C"
+    assert cfg.model_class == "deep_cnn_segm_sigmoid"
+    assert cfg.model_kwargs["n_chan_layers"] == [40, 40, 30, 10]
+    assert cfg.model_kwargs["n_prefilt_layers"] == 5
+    assert cfg.model_kwargs["residual"] is True
+    assert (cfg.train_stride, cfg.val_stride, cfg.test_stride) == (20, 20, 1)
+    assert cfg.train_config.initial_lr == 0.0002
+    assert cfg.train_config.max_train_batches == 3800   # :345 n_batches cap
+    # the 6-subset RETRAIN4 test loop (:253): versions1 == test_versions,
+    # plus Wu / slow / fast variants and the TRIOS-style pieces
+    assert set(cfg.extra_test_subsets) == {
+        "test_versions1", "test_versions2", "test_versions3",
+        "test_versions4", "test_pieces"}
+    assert cfg.extra_test_subsets["test_versions1"] == cfg.test_versions
+    assert cfg.extra_test_subsets["test_versions2"][-1] == "2628_"
+    assert cfg.extra_test_subsets["test_versions3"][0] == "2302_"
+    assert cfg.extra_test_subsets["test_versions4"][0] == "2310_"
+    assert "Bach_BWV1006_ViolinPartita" in cfg.extra_test_subsets["test_pieces"]
+
+
+def test_family_golden_exp201b_schubert_songsplit():
+    """Golden vs exp201b_schubert_songsplit…py:39-84,240-242 (Exp3:
+    explicit D911 song-level train/val/test splits)."""
+    cfg = load_experiment(
+        "exp201b_schubert_songsplit_unet_extremelylarge_doubleselfattn")
+    assert cfg.family == "Exp3_SectionIV-D"
+    assert cfg.model_class == "simple_u_net_doubleselfattn"
+    assert cfg.model_kwargs["n_chan_layers"] == [128, 80, 50, 30]
+    assert cfg.model_kwargs["scalefac"] == 4
+    assert cfg.model_kwargs["embed_dim"] == 128       # 16*8, :81
+    assert cfg.model_kwargs["mlp_dim"] == 8192
+    assert cfg.model_kwargs["pos_encoding"] == "sinusoidal"
+    assert (cfg.train_stride, cfg.val_stride, cfg.test_stride) == (10, 10, 1)
+    assert cfg.train_config.initial_lr == 0.001
+    assert cfg.train_versions == [f"D911-{i:02d}" for i in range(1, 14)]
+    assert cfg.val_versions == ["D911-14", "D911-15", "D911-16"]
+    assert cfg.test_versions == [f"D911-{i}" for i in range(17, 25)]
+
+
+def test_family_golden_exp210d_bigmix():
+    """Golden vs exp210d_bigmix…py:39,249,294-295,310-311,346-348,
+    359-360,393-394,405,424-426,437-438,471 (Exp4: five-corpus big mix
+    with per-corpus strides and the TRIOS final test set)."""
+    from multipitch_architectures_tpu.experiments.configs import \
+        BIGMIX_STRIDES
+
+    cfg = load_experiment("exp210d_bigmix_unet_extremelylarge_doubleselfattn")
+    assert cfg.family == "Exp4_SectionIV-E"
+    assert cfg.model_class == "simple_u_net_doubleselfattn"
+    assert cfg.model_kwargs["n_chan_layers"] == [128, 80, 50, 30]
+    assert cfg.model_kwargs["scalefac"] == 4
+    assert cfg.train_config.max_train_batches == 3800
+    assert cfg.train_config.initial_lr == 0.001
+    # base (MusicNet) stride 35 (:39); per-corpus overrides live in
+    # BIGMIX_STRIDES, matching the script's in-place reassignments
+    assert cfg.train_stride == 35
+    assert BIGMIX_STRIDES["MusicNet"] == (35, 35)
+    assert BIGMIX_STRIDES["SWD"] == (6, 4)              # :310-311
+    assert BIGMIX_STRIDES["Bach10"] == (1, 1)           # :359-360
+    assert BIGMIX_STRIDES["PHENICX-Anechoic"] == (2, 2)  # :405
+    assert BIGMIX_STRIDES["ChoralSingingDataset"] == (4, 4)  # :437-438
+    # the final aggregate test set is TRIOS (:471)
+    assert cfg.test_versions == ["brahms", "lussier", "mozart", "schubert",
+                                 "take_five"]
+
+
+def test_audio_corpus_swd_annotation_schema(tmp_path):
+    """AudioCorpus ingests SWD ann_audio_note CSVs (semicolon-separated,
+    seconds, 'pitch' column) alongside MusicNet's sample-index schema —
+    Exp3 runnable from raw audio (VERDICT r2 task 9)."""
+    from scipy.io import wavfile
+
+    from multipitch_architectures_tpu.experiments import AudioCorpus
+    from multipitch_architectures_tpu.io import load_note_events
+
+    fs = 22050
+    t = np.arange(fs) / fs
+    (tmp_path / "audio").mkdir()
+    (tmp_path / "csv").mkdir()
+    wavfile.write(tmp_path / "audio" / "D911-01_HU33.wav", fs,
+                  (0.4 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16))
+    with open(tmp_path / "csv" / "D911-01_HU33.csv", "w") as f:
+        f.write("start;end;pitch;velocity;instrument\n")
+        f.write("0.0;0.5;69;42;voice\n0.25;0.9;57;40;piano\n")
+
+    ev = load_note_events(str(tmp_path / "csv" / "D911-01_HU33.csv"))
+    np.testing.assert_allclose(ev, [[0.0, 0.5, 69], [0.25, 0.9, 57]])
+
+    corpus = AudioCorpus(str(tmp_path / "audio"), str(tmp_path / "csv"))
+    inputs, targets = corpus.load("D911-01_HU33.wav")
+    assert targets[:, 69].any() and targets[:, 57].any()
+    # 69 active only in the first half, 57 from 0.25 s on
+    fs_frames = targets.shape[0]
+    assert not targets[int(0.6 * fs_frames):, 69].any()
+    assert not targets[:int(0.2 * fs_frames), 57].any()
