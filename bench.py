@@ -110,13 +110,16 @@ def main():
         return jnp.sum(y.astype(jnp.float32))
 
     def make_windowed(apply_batch):
-        """Full windowed-protocol pipeline (large scanned dispatches +
-        the protocol tail batches) for any batched window forward —
-        every mode measured over the SAME audio span (all n_frames,
-        tails included) so real-time factors are directly comparable."""
+        """Full windowed-protocol pipeline for any batched window
+        forward, as ONE jitted executable (the scanned full batches AND
+        the protocol tail batches inside a single dispatch — per-dispatch
+        enqueue through the relayed TPU backend costs tens of ms, so
+        separate tail executables taxed every mode ~5%). Every mode is
+        measured over the SAME audio span (all n_frames, tails included)
+        so real-time factors are directly comparable."""
 
         @jax.jit
-        def pipeline(variables, audio, centers_mat):
+        def full(variables, audio):
             xp = features(audio)
 
             def body(acc, centers):
@@ -126,17 +129,9 @@ def main():
 
             total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                     centers_mat)
-            return total, xp
-
-        @jax.jit
-        def tail(variables, xp, centers):
-            y = apply_batch(variables, gather_windows(xp, centers, 75))
-            return jnp.sum(y.astype(jnp.float32))
-
-        def full(variables, audio):
-            total, xp = pipeline(variables, audio, centers_mat)
-            for c in tail_chunks:
-                total = total + tail(variables, xp, c)
+            for c in tail_chunks:               # static shapes, same exe
+                y = apply_batch(variables, gather_windows(xp, c, 75))
+                total = total + jnp.sum(y.astype(jnp.float32))
             return total
 
         return full
@@ -145,10 +140,10 @@ def main():
         """Windowed protocol with the shared-``inc`` forward
         (eval/shared_inc.py): dense LayerNorm+inc once per recording,
         interior rows reused across all windows, exact edge rows —
-        same dispatch structure and audio span as make_windowed."""
+        single-dispatch structure and audio span as make_windowed."""
 
         @jax.jit
-        def pipeline(variables, audio, centers_mat):
+        def full(variables, audio):
             xp = features(audio)
             ln_dense, inc_dense = fwd._precompute_impl(variables, xp)
 
@@ -159,17 +154,9 @@ def main():
 
             total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                     centers_mat)
-            return total, ln_dense, inc_dense
-
-        @jax.jit
-        def tail(variables, ln_dense, inc_dense, centers):
-            y = fwd._forward_impl(variables, ln_dense, inc_dense, centers)
-            return jnp.sum(y.astype(jnp.float32))
-
-        def full(variables, audio):
-            total, ln, inc = pipeline(variables, audio, centers_mat)
             for c in tail_chunks:
-                total = total + tail(variables, ln, inc, c)
+                y = fwd._forward_impl(variables, ln_dense, inc_dense, c)
+                total = total + jnp.sum(y.astype(jnp.float32))
             return total
 
         return full

@@ -452,6 +452,7 @@ def test_runner_test_phase_shards_over_data_mesh(tmp_path):
                             logger=logging.getLogger("shard_single"), **kw)
 
     log = logging.getLogger("shard_mesh")
+    log.setLevel(logging.INFO)
     records = []
 
     class Capture(logging.Handler):
