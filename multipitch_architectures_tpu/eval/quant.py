@@ -15,14 +15,16 @@ a flax method interceptor replaces every big-enough ``nn.Conv`` with
 LayerNorm, BatchNorm, attention, pooling, bilinear resize, and the
 small head convs stay f32 (negligible FLOP share; quantizing them risks
 accuracy for no speed). Measured on the windowed HCQT+SAUnet:XL protocol
-pipeline (perf/int8_windowed_experiment.py, v5e): dynamic +1.6%
-(the per-call max re-reads every activation tensor), calibrated static
-+15% (42.4x -> 48.8x real-time). NOT protocol-exact: an opt-in serving
-mode whose accuracy cost must be measured per checkpoint —
-perf/int8_fparity_experiment.py (trained SAUnet, synthetic task):
-dynamic default policy keeps ALL 25 measures within 8e-4 of the f32
-protocol; calibrated static within 2.3e-3, with the F-measure itself
-+1.3e-3 (higher than f32).
+pipeline (v5e, round 3, tails included): dynamic +1.6% (the per-call
+max re-reads every activation tensor), calibrated static +11%
+(40.8x -> 45.4x real-time, bench.py). NOT protocol-exact: an opt-in
+serving mode whose accuracy cost must be measured per checkpoint — the
+export CLI enforces this via :func:`int8_drift_report` (refuses >1e-3
+drift). Calibration policy matters (perf/int8_calibration_study.py,
+trained checkpoints): TRAINING-set static scales fail the 1e-3 measure
+gate at every margin/percentile tried (1.2e-3..1.2e-2); dynamic passes
+(8e-4); per-RECORDING calibration (scales from the recording being
+served, perf/gated_mode_experiment.py) is the fast gated policy.
 """
 
 import numpy as np

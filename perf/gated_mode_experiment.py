@@ -1,0 +1,144 @@
+"""Which serving modes pass the 1e-3 F-gate on TRAINED checkpoints?
+
+The round-3 headline candidates (bench.py):
+
+  - windowed f32                    (protocol-exact, round-2 headline)
+  - windowed shared-inc f32         (float-reassociation-exact)
+  - windowed int8 static margin1.25 (perf/int8_calibration_study policy)
+  - windowed shared-inc + int8      (inc stays f32, downstream int8)
+
+This trains both flagship-family checkpoints (SAUnet = exp180*,
+PUnet = exp195*) on the learnable synthetic task and measures the
+worst-of-25-measures drift of every mode against the f32 windowed
+protocol — the BASELINE.md gate ("F within 1e-3"). Run on CPU (accuracy
+only; speed is bench.py's job).
+"""
+import os
+import sys
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from test_learning import synth_file
+
+from multipitch_architectures_tpu.data import (AugmentConfig, FileSpec,
+                                               TrainPipeline)
+from multipitch_architectures_tpu.data.windows import gather_windows
+from multipitch_architectures_tpu.eval import (calculate_eval_measures,
+                                               calculate_mpe_measures_mireval,
+                                               calibrate_activation_scales,
+                                               predict_framewise,
+                                               predict_framewise_shared,
+                                               quantized_apply_fn)
+from multipitch_architectures_tpu.models import (
+    SimpleUNetDoubleSelfAttn, SimpleUNetDoubleSelfAttnPolyphony)
+from multipitch_architectures_tpu.train import Trainer, TrainConfig
+
+MEAS = ["precision", "recall", "f_measure", "cosine_sim",
+        "binary_crossentropy", "euclidean_distance", "binary_accuracy",
+        "soft_accuracy", "accum_energy", "roc_auc_measure",
+        "average_precision_score"]
+
+train_files = [FileSpec(*synth_file(1200, seed=s)) for s in range(3)]
+test_x, test_roll = synth_file(600, seed=99)
+targ = test_roll[:, 24:96]
+
+
+def train(model, loss):
+    aug = AugmentConfig(noisestd=1e-4, compression=10.0)
+    pipeline = TrainPipeline(train_files, context=75, stride=5, augment=aug,
+                             target_slice=(24, 96))
+    cfg = TrainConfig(max_epochs=4, batch_size=16, initial_lr=2e-3,
+                      loss=loss, es_patience=50, scheduler=None, seed=0)
+    trainer = Trainer(model, cfg)
+    state = trainer.init(jnp.zeros((1, 6, 75, 216)))
+    state, hist = trainer.fit(
+        lambda epoch, key: pipeline.batches(key, cfg.batch_size), None,
+        state=state)
+    print("train loss:", [round(v, 4) for v in hist["train_loss"]])
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return variables
+
+
+def measures(pred):
+    m = calculate_eval_measures(targ, pred, MEAS, threshold=0.4)
+    m.update(calculate_mpe_measures_mireval(targ, pred, threshold=0.4,
+                                            min_pitch=24))
+    return m
+
+
+def worst_delta(mf, mq):
+    return max(abs(mf[k] - mq[k]) for k in mf)
+
+
+cal_x = jnp.log1p(10.0 * jnp.asarray(train_files[0].inputs, jnp.float32))
+
+
+def cal_batches(n=4):
+    xp = jnp.pad(cal_x, ((0, 0), (37, 38), (0, 0)))
+    return [gather_windows(xp, 37 + 50 * b + np.arange(50), 75)
+            for b in range(n)]
+
+
+for name, model, loss in (
+        ("SAUnet", SimpleUNetDoubleSelfAttn(
+            n_chan_layers=(16, 16, 8, 4), n_bins_out=72, scalefac=8,
+            embed_dim=64, num_heads=8, mlp_dim=128,
+            pos_encoding="sinusoidal"), "bce"),
+        ("PUnet", SimpleUNetDoubleSelfAttnPolyphony(
+            n_chan_layers=(16, 16, 8, 4), n_bins_out=72, scalefac=8,
+            embed_dim=64, num_heads=8, mlp_dim=128,
+            pos_encoding="sinusoidal"), "multitask")):
+    print(f"\n######## {name}")
+    variables = train(model, loss)
+    pred_f = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, test_x,
+        batch_size=50)
+    mf = measures(pred_f)
+    print(f"f32 F={mf['f_measure']:.4f}")
+
+    scales_train = calibrate_activation_scales(model, variables,
+                                               cal_batches(), margin=1.25)
+
+    # per-RECORDING calibration: scales from the first protocol batches
+    # of the recording being served (bench.py's int8 mode does exactly
+    # this — one amortized f32 calibration pass per recording)
+    test_c = jnp.log1p(10.0 * jnp.asarray(test_x, jnp.float32))
+    test_xp = jnp.pad(test_c, ((0, 0), (37, 38), (0, 0)))
+    rec_cal = [gather_windows(test_xp, 37 + 50 * b + np.arange(50), 75)
+               for b in range(4)]
+    scales_rec = calibrate_activation_scales(model, variables, rec_cal)
+    scales_rec_m = calibrate_activation_scales(model, variables, rec_cal,
+                                               margin=1.25)
+
+    modes = {
+        "sharedinc_f32": lambda: predict_framewise_shared(
+            model, variables, test_x, batch_size=50),
+        "int8_train_m1.25": lambda: predict_framewise(
+            quantized_apply_fn(model, activation_scales=scales_train),
+            variables, test_x, batch_size=50),
+        "int8_recording": lambda: predict_framewise(
+            quantized_apply_fn(model, activation_scales=scales_rec),
+            variables, test_x, batch_size=50),
+        "int8_recording_m1.25": lambda: predict_framewise(
+            quantized_apply_fn(model, activation_scales=scales_rec_m),
+            variables, test_x, batch_size=50),
+        "sharedinc_int8_rec": lambda: predict_framewise_shared(
+            model, variables, test_x, batch_size=50,
+            activation_scales=scales_rec),
+    }
+    for tag, fn in modes.items():
+        pred = fn()
+        w = worst_delta(mf, measures(pred))
+        pd = np.abs(pred_f - pred)
+        print(f"{tag:22s} worst-measure={w:.5f} pred max={pd.max():.5f} "
+              f"mean={pd.mean():.6f} {'PASS' if w <= 1e-3 else 'FAIL'}")

@@ -60,22 +60,26 @@ def pallas_int8_mm(a, b):
 N_ITER = 50
 
 
-def timed_tops(mm, a, b, perturb, reps=3):
+def timed_tops(mm, a, b, feedback, reps=3):
     """N_ITER matmuls inside ONE jitted scan (per-dispatch latency
     through the relayed TPU backend is ~30 ms — a single 4096^3 matmul
     is 0.4 ms, so per-call timing measures the tunnel, not the MXU).
-    ``perturb(a, i)`` cheaply varies the input per iteration to defeat
-    CSE of identical dots."""
+
+    Each iteration's input is ``feedback`` of the previous full product:
+    a cheap VPU transform that (a) defeats CSE of identical dots and
+    (b) CONSUMES every output element — consuming only y[0,0] lets
+    XLA's slice-of-dot simplification compute a single row and report
+    >nominal-peak fantasy rates (measured 249 "TFLOP/s" on a 197-peak
+    chip before this fix)."""
 
     @jax.jit
     def loop(a, b):
-        def body(acc, i):
-            y = mm(perturb(a, i), b)
-            return acc + y[0, 0].astype(jnp.float32), None
+        def body(a, _):
+            y = mm(a, b)
+            return feedback(y), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jnp.arange(N_ITER))
-        return acc
+        a_fin, _ = jax.lax.scan(body, a, None, length=N_ITER)
+        return jnp.sum(a_fin.astype(jnp.float32)[::512, ::512])
 
     float(loop(a, b))                                   # compile + warm
     best = np.inf
@@ -93,20 +97,74 @@ def main():
     af = jnp.asarray(rng.rand(M, K), jnp.float32)
     bf = jnp.asarray(rng.rand(K, N), jnp.float32)
 
-    x8 = lambda a, i: a ^ i.astype(jnp.int8)
-    xf = lambda a, i: a + i.astype(jnp.float32)
+    fb8 = lambda y: (y & 127).astype(jnp.int8)          # consumes all of y
+    fbf = lambda y: y.astype(jnp.float32) * 1e-6
 
     dot32 = functools.partial(jnp.dot, preferred_element_type=jnp.int32)
-    print(f"jnp.dot  int8->int32 : {timed_tops(dot32, a8, b8, x8):7.1f}"
+    print(f"jnp.dot  int8->int32 : {timed_tops(dot32, a8, b8, fb8):7.1f}"
           f" TOP/s")
     dotbf = lambda x, y: jnp.dot(x.astype(jnp.bfloat16),
                                  y.astype(jnp.bfloat16),
                                  preferred_element_type=jnp.float32)
-    print(f"jnp.dot  bf16->f32   : {timed_tops(dotbf, af, bf, xf):7.1f}"
+    print(f"jnp.dot  bf16->f32   : {timed_tops(dotbf, af, bf, fbf):7.1f}"
           f" TFLOP/s")
     print(f"pallas   int8->int32 : "
-          f"{timed_tops(pallas_int8_mm, a8, b8, x8):7.1f} TOP/s")
+          f"{timed_tops(pallas_int8_mm, a8, b8, fb8):7.1f} TOP/s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--variant" not in sys.argv:
     main()
+
+
+# variant: K-blocked accumulating kernel with explicit dimension
+# semantics — rules out the naive single-dot kernel as the limiter
+TK2 = 1024
+
+
+def mm_kernel_acc(a_ref, b_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@jax.jit
+def pallas_int8_mm_acc(a, b):
+    return pl.pallas_call(
+        mm_kernel_acc,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        grid=(M // TM, N // TN, K // TK2),
+        in_specs=[
+            pl.BlockSpec((TM, TK2), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK2, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(a, b)
+
+
+def variant():
+    rng = np.random.RandomState(0)
+    a8 = jnp.asarray(rng.randint(-127, 128, (M, K)), jnp.int8)
+    b8 = jnp.asarray(rng.randint(-127, 128, (K, N)), jnp.int8)
+    fb8 = lambda y: (y & 127).astype(jnp.int8)
+    print(f"pallas   int8 K-acc  : "
+          f"{timed_tops(pallas_int8_mm_acc, a8, b8, fb8):7.1f} TOP/s")
+
+
+if __name__ == "__main__" and "--variant" in sys.argv:
+    variant()
