@@ -75,10 +75,18 @@ def worst_delta(mf, mq):
     return max(abs(mf[k] - mq[k]) for k in mf)
 
 
-# calibration batches from a TRAINING file (the export-time scenario)
+# calibration batches from a TRAINING file (the export-time scenario),
+# in exact protocol geometry: pad ±(37,38) BEFORE gathering, like the
+# serving path does. The original round-3 study run (see the note at the
+# top of results_r3_int8_calibration_study.txt) gathered from the
+# UNPADDED features — mis-aligned vs the windows being served — which
+# pushed every static policy just past the 1e-3 gate; with protocol
+# geometry, margin-1.25 static calibration passes on the same checkpoint
+# (perf/gated_mode_experiment.py measures the corrected policies).
 cal_x = jnp.log1p(10.0 * jnp.asarray(train_files[0].inputs, jnp.float32))
+cal_xp = jnp.pad(cal_x, ((0, 0), (37, 38), (0, 0)))
 def cal_batches(n):
-    return [gather_windows(cal_x, 37 + 50 * b + np.arange(50), 75)
+    return [gather_windows(cal_xp, 37 + 50 * b + np.arange(50), 75)
             for b in range(n)]
 
 
