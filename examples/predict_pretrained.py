@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--audio", help="audio .npy/.wav (22.05 kHz)")
     ap.add_argument("--out", default="prediction.npy")
     ap.add_argument("--batch-size", type=int, default=50)
+    ap.add_argument("--int8", action="store_true",
+                    help="gated int8 serving mode: per-recording "
+                         "calibrated W8A8 convs (eval.predict_framewise_"
+                         "int8; ~11%% faster windowed serving, drift gate "
+                         "measured <=1e-3 on trained checkpoints — "
+                         "perf/gated_mode_experiment.py)")
     args = ap.parse_args()
 
     import torch
@@ -81,17 +87,25 @@ def main():
     def apply_fn(v, x):
         return model.apply(v, x, train=False)
 
+    if args.int8:
+        from multipitch_architectures_tpu.eval import predict_framewise_int8
+
+        def run(**kw):
+            return predict_framewise_int8(model, variables, inputs,
+                                          batch_size=args.batch_size, **kw)
+    else:
+        def run(**kw):
+            return predict_framewise(apply_fn, variables, inputs,
+                                     batch_size=args.batch_size, **kw)
+
     if args.model.startswith("simple_u_net_polyphony") or \
             "polyphony" in args.model:
-        pred, n_pred = predict_framewise(apply_fn, variables, inputs,
-                                         batch_size=args.batch_size,
-                                         return_aux=True)
+        pred, n_pred = run(return_aux=True)
         poly_out = args.out.replace(".npy", "_polyphony.npy")
         np.save(poly_out, n_pred)
         print(f"polyphony {n_pred.shape} -> {poly_out}")
     else:
-        pred = predict_framewise(apply_fn, variables, inputs,
-                                 batch_size=args.batch_size)
+        pred = run()
     np.save(args.out, pred)
     print(f"prediction {pred.shape} -> {args.out}")
 

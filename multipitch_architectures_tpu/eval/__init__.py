@@ -12,7 +12,7 @@ from .inference import (predict_framewise, predict_framewise_sharded,
                         predict_dense, predict_dense_chunked)
 from .quant import (quantized_apply_fn, quantized_conv,
                     calibrate_activation_scales, make_int8_interceptor,
-                    int8_drift_report)
+                    int8_drift_report, predict_framewise_int8)
 from .shared_inc import SharedIncForward, predict_framewise_shared
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "make_int8_interceptor",
     "calibrate_activation_scales",
     "int8_drift_report",
+    "predict_framewise_int8",
     "SharedIncForward",
     "predict_framewise_shared",
 ]

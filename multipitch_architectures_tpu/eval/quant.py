@@ -64,21 +64,36 @@ def quantized_conv(x, kernel, bias, strides, padding):
 
 
 def quantized_conv_static(x, kernel, bias, strides, padding, x_scale):
-    """int8 conv with a PRE-CALIBRATED per-layer activation scale: no
-    dynamic max pass over the input (the dynamic variant re-reads every
-    activation tensor, which erases most of the MXU gain in-context —
-    measured: dynamic +1.6%, static +14% on the windowed pipeline,
-    perf/int8_windowed_experiment.py)."""
+    """int8 conv with PRE-CALIBRATED activation scale(s): no dynamic max
+    pass over the input (the dynamic variant re-reads every activation
+    tensor, which erases most of the MXU gain in-context — measured:
+    dynamic +1.6%, static +14% on the windowed pipeline,
+    perf/int8_windowed_experiment.py).
+
+    ``x_scale`` is a scalar (per-tensor) or a (Cin,) vector
+    (per-input-channel). Per-channel costs ZERO runtime: each channel
+    scale folds into the kernel's Cin axis BEFORE per-output-channel
+    weight quantization, so the conv itself and the (Cout,) dequantize
+    are unchanged — only trace-time constants differ
+    (sum_cin (x/s_c)·(w·s_c) == sum_cin x·w exactly). It quantizes
+    activations finer but the folded kernel's wider per-output-channel
+    range coarsens WEIGHT quantization, so which policy drifts less is
+    an empirical per-checkpoint question — measured on trained
+    checkpoints by perf/gated_mode_experiment.py."""
+    xs = jnp.asarray(x_scale, jnp.float32)
+    if xs.ndim == 1:                         # per-input-channel: fold
+        kernel = kernel * xs[None, None, :, None]
     ws = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
     ws = jnp.maximum(ws, 1e-12) / 127.0
     wq = jnp.clip(jnp.round(kernel / ws), -127, 127).astype(jnp.int8)
-    xs = jnp.float32(x_scale)
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, wq, _normalize_strides(strides), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (ws * xs)
+    y = y.astype(jnp.float32) * ws
+    if xs.ndim == 0:
+        y = y * xs
     if bias is not None:
         y = y + bias
     return y
@@ -132,7 +147,8 @@ def make_int8_interceptor(min_kernel_elems: int = 4096,
 def calibrate_activation_scales(model, variables, sample_inputs,
                                 min_kernel_elems: int = 4096,
                                 percentile: float = None,
-                                margin: float = 1.0):
+                                margin: float = 1.0,
+                                per_channel: bool = False):
     """Per-conv activation scales from representative inputs.
 
     Runs JITTED f32 forwards with a trace-time capturing interceptor:
@@ -151,6 +167,12 @@ def calibrate_activation_scales(model, variables, sample_inputs,
             serving inputs whose activations exceed the calibration range
             (measured: margin 1.25 pulls static-scale drift on trained
             checkpoints under the 1e-3 gate, perf/int8_calibration_study).
+        per_channel: capture a (Cin,) max per conv input channel instead
+            of one scalar — finer activation quantization at zero runtime
+            cost (the channel scales fold into kernel constants, see
+            :func:`quantized_conv_static`), traded against coarser
+            quantization of the folded weights; drift measured per
+            checkpoint by perf/gated_mode_experiment.py.
     """
     import jax as _jax
 
@@ -169,22 +191,33 @@ def calibrate_activation_scales(model, variables, sample_inputs,
                     >= min_kernel_elems and _plain_conv(mod)):
                 keys.append("/".join(mod.path))
                 a = jnp.abs(args[0])
-                captured.append(jnp.percentile(a, percentile)
-                                if percentile is not None else jnp.max(a))
+                if per_channel:              # (B,H,W,Cin) -> (Cin,)
+                    red = tuple(range(a.ndim - 1))
+                    captured.append(
+                        jnp.percentile(a, percentile, axis=red)
+                        if percentile is not None else jnp.max(a, axis=red))
+                else:
+                    captured.append(
+                        jnp.percentile(a, percentile)
+                        if percentile is not None else jnp.max(a))
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(capture):
             model.apply(v, x, train=False)
-        return jnp.stack(captured)
+        return captured                       # list pytree (ragged shapes)
 
     probe_jit = _jax.jit(probe)
     maxes = {}
     for x in sample_inputs:
-        vals = np.asarray(probe_jit(variables, jnp.asarray(x)))
+        vals = [np.asarray(v) for v in probe_jit(variables, jnp.asarray(x))]
         # `keys` holds the most recent trace's order; cached calls keep it
         for k, v in zip(list(keys), vals):
-            maxes[k] = max(maxes.get(k, 0.0), float(v))
-    return {k: max(v * margin, 1e-12) / 127.0 for k, v in maxes.items()}
+            maxes[k] = np.maximum(maxes.get(k, 0.0), v)
+    if per_channel:
+        return {k: np.maximum(v * margin, 1e-12).astype(np.float32) / 127.0
+                for k, v in maxes.items()}
+    return {k: max(float(v) * margin, 1e-12) / 127.0
+            for k, v in maxes.items()}
 
 
 DRIFT_GATE_MEASURES = (
@@ -262,6 +295,47 @@ def int8_drift_report(model, variables, cal_windows, activation_scales=None,
                 pred_max=float(np.abs(pred_f - pred_q).max()),
                 pred_mean=float(np.abs(pred_f - pred_q).mean()),
                 gate=gate, passed=bool(drift) and worst <= gate)
+
+
+def predict_framewise_int8(model, variables, inputs, context: int = 75,
+                           batch_size: int = 50, compression=10.0,
+                           group=None, cal_batches: int = 4,
+                           per_channel: bool = False,
+                           min_kernel_elems: int = 4096, **predict_kwargs):
+    """Whole-recording framewise prediction in the gated int8 serving
+    mode: per-RECORDING calibration (activation scales from the first
+    ``cal_batches`` protocol window batches of this recording — one
+    amortized f32 pass), per-TENSOR static scales by default (per-channel
+    is available but measured WORSE at the worst-measure gate on trained
+    checkpoints: the channel scales fold into the kernel and coarsen
+    per-output-channel weight quantization — perf/gated_mode_experiment),
+    then the windowed protocol with W8A8 convs. This is exactly the
+    policy bench.py times and perf/gated_mode_experiment.py gates
+    (worst-of-25-measures drift ≤1e-3 vs the f32 protocol on trained
+    flagship-family checkpoints). Same signature semantics as
+    :func:`~multipitch_architectures_tpu.eval.predict_framewise`.
+    """
+    from ..data.windows import gather_windows
+    from .inference import predict_framewise
+
+    x = jnp.asarray(inputs, jnp.float32)
+    if compression is not None:
+        x = jnp.log1p(compression * x)
+    half = context // 2
+    xp = jnp.pad(x, ((0, 0), (half, half + 1), (0, 0)))
+    t = x.shape[1]
+    cal = []
+    for b in range(min(cal_batches, -(-t // batch_size))):
+        centers = np.minimum(half + batch_size * b + np.arange(batch_size),
+                             half + t - 1)
+        cal.append(gather_windows(xp, jnp.asarray(centers), context))
+    scales = calibrate_activation_scales(
+        model, variables, cal, min_kernel_elems=min_kernel_elems,
+        per_channel=per_channel)
+    apply_fn = quantized_apply_fn(model, min_kernel_elems, scales)
+    return predict_framewise(apply_fn, variables, x, context=context,
+                             batch_size=batch_size, compression=None,
+                             group=group, **predict_kwargs)
 
 
 def quantized_apply_fn(model, min_kernel_elems: int = 4096,

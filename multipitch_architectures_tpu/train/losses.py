@@ -34,8 +34,17 @@ def polyphony_targets(y_true):
 
 def cross_entropy_logits(logits, labels, weights=None):
     """torch.nn.CrossEntropyLoss(reduction='mean') on NCHW-style logits
-    (B, C, *spatial) with integer labels (B, *spatial)."""
+    (B, C, *spatial) with integer labels (B, *spatial).
+
+    Out-of-range labels (e.g. a frame whose polyphony exceeds the head's
+    ``num_polyphony_steps`` classes) are clipped to the top class: torch
+    hard-errors on such targets (device-side assert), and the default
+    JAX gather would silently fill NaN into the loss value while
+    dropping those frames' gradients — clipping is the explicit, sane
+    middle ground and is documented here because it IS a behavior
+    difference on invalid-for-torch data."""
     logp = jax.nn.log_softmax(logits, axis=1)
+    labels = jnp.clip(labels, 0, logits.shape[1] - 1)
     picked = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
     if weights is None:
         return -jnp.mean(picked)

@@ -38,7 +38,7 @@ from multipitch_architectures_tpu.eval import (calculate_eval_measures,
                                                predict_framewise_shared,
                                                quantized_apply_fn)
 from multipitch_architectures_tpu.models import (
-    SimpleUNetDoubleSelfAttn, SimpleUNetDoubleSelfAttnPolyphony)
+    SimpleUNetDoubleSelfAttn, SimpleUNetPolyphonyClassifSoftmax)
 from multipitch_architectures_tpu.train import Trainer, TrainConfig
 
 MEAS = ["precision", "recall", "f_measure", "cosine_sim",
@@ -89,15 +89,27 @@ def cal_batches(n=4):
             for b in range(n)]
 
 
-for name, model, loss in (
-        ("SAUnet", SimpleUNetDoubleSelfAttn(
-            n_chan_layers=(16, 16, 8, 4), n_bins_out=72, scalefac=8,
-            embed_dim=64, num_heads=8, mlp_dim=128,
-            pos_encoding="sinusoidal"), "bce"),
-        ("PUnet", SimpleUNetDoubleSelfAttnPolyphony(
-            n_chan_layers=(16, 16, 8, 4), n_bins_out=72, scalefac=8,
-            embed_dim=64, num_heads=8, mlp_dim=128,
-            pos_encoding="sinusoidal"), "multitask")):
+# PUnet = the exp195f family class (simple_u_net_polyphony_classif_softmax,
+# 24-way softmax polyphony head off the raw bottleneck, NO attention) — an
+# earlier revision mis-paired the regression-head attention variant with the
+# CE loss, which silently dropped every polyphony>=1 frame's CE gradient
+# (out-of-range labels on a 1-class axis) and logged NaN losses.
+FAMILIES = (
+    ("SAUnet", lambda: SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(16, 16, 8, 4), n_bins_out=72, scalefac=8,
+        embed_dim=64, num_heads=8, mlp_dim=128,
+        pos_encoding="sinusoidal"), "bce"),
+    ("PUnet", lambda: SimpleUNetPolyphonyClassifSoftmax(
+        n_chan_layers=(16, 16, 8, 4), n_bins_out=72, scalefac=8,
+        num_polyphony_steps=24), "multitask"),
+)
+
+only = sys.argv[1] if len(sys.argv) > 1 else None
+
+for name, make_model, loss in FAMILIES:
+    if only and name != only:
+        continue
+    model = make_model()
     print(f"\n######## {name}")
     variables = train(model, loss)
     pred_f = predict_framewise(
@@ -108,6 +120,8 @@ for name, model, loss in (
 
     scales_train = calibrate_activation_scales(model, variables,
                                                cal_batches(), margin=1.25)
+    scales_train_pc = calibrate_activation_scales(
+        model, variables, cal_batches(), margin=1.25, per_channel=True)
 
     # per-RECORDING calibration: scales from the first protocol batches
     # of the recording being served (bench.py's int8 mode does exactly
@@ -117,8 +131,8 @@ for name, model, loss in (
     rec_cal = [gather_windows(test_xp, 37 + 50 * b + np.arange(50), 75)
                for b in range(4)]
     scales_rec = calibrate_activation_scales(model, variables, rec_cal)
-    scales_rec_m = calibrate_activation_scales(model, variables, rec_cal,
-                                               margin=1.25)
+    scales_rec_pc = calibrate_activation_scales(model, variables, rec_cal,
+                                                per_channel=True)
 
     modes = {
         "sharedinc_f32": lambda: predict_framewise_shared(
@@ -126,15 +140,15 @@ for name, model, loss in (
         "int8_train_m1.25": lambda: predict_framewise(
             quantized_apply_fn(model, activation_scales=scales_train),
             variables, test_x, batch_size=50),
+        "int8_train_m1.25_pc": lambda: predict_framewise(
+            quantized_apply_fn(model, activation_scales=scales_train_pc),
+            variables, test_x, batch_size=50),
         "int8_recording": lambda: predict_framewise(
             quantized_apply_fn(model, activation_scales=scales_rec),
             variables, test_x, batch_size=50),
-        "int8_recording_m1.25": lambda: predict_framewise(
-            quantized_apply_fn(model, activation_scales=scales_rec_m),
+        "int8_recording_pc": lambda: predict_framewise(
+            quantized_apply_fn(model, activation_scales=scales_rec_pc),
             variables, test_x, batch_size=50),
-        "sharedinc_int8_rec": lambda: predict_framewise_shared(
-            model, variables, test_x, batch_size=50,
-            activation_scales=scales_rec),
     }
     for tag, fn in modes.items():
         pred = fn()

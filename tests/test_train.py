@@ -226,6 +226,36 @@ def test_multitask_loss_matches_torch():
     assert float(got) == pytest.approx(float(want), rel=1e-5)
 
 
+def test_multitask_loss_clips_out_of_range_polyphony():
+    """A frame whose polyphony exceeds the head's class count (torch CE
+    would device-assert) is clipped to the top class — the loss stays
+    finite and equals torch's value with pre-clipped targets, and its
+    gradient is finite (the default JAX gather would NaN-fill the loss
+    while silently dropping those frames' gradients)."""
+    import torch
+
+    rng = np.random.RandomState(1)
+    y_pred = rng.rand(4, 1, 1, 72).astype(np.float32)
+    y_true = (rng.rand(4, 1, 1, 72) > 0.5).astype(np.float32)  # ~36 active
+    n_pred = rng.randn(4, 24, 1, 1).astype(np.float32)
+
+    got = multitask_bce_ce_loss((jnp.asarray(y_pred), jnp.asarray(n_pred)),
+                                jnp.asarray(y_true))
+    assert np.isfinite(float(got))
+
+    n_target = torch.sum(torch.from_numpy(y_true), dim=-1,
+                         keepdims=True).long().squeeze(3).clamp(max=23)
+    want = (torch.nn.BCELoss()(torch.from_numpy(y_pred),
+                               torch.from_numpy(y_true))
+            + torch.nn.CrossEntropyLoss()(torch.from_numpy(n_pred),
+                                          n_target) / 25.0)
+    assert float(got) == pytest.approx(float(want), rel=1e-5)
+
+    g = jax.grad(lambda n: multitask_bce_ce_loss(
+        (jnp.asarray(y_pred), n), jnp.asarray(y_true)))(jnp.asarray(n_pred))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def _toy_pipelines(seed=0, t=900):
     rng = np.random.RandomState(seed)
     files = [FileSpec(rng.rand(6, t, 216).astype(np.float32),
