@@ -222,14 +222,16 @@ def main():
     # calibrated static-scale int8 serving mode: same windowed protocol
     # composition, conv arithmetic in W8A8 (eval/quant.py). Per-tensor
     # scales calibrated on the first protocol batches of the recording
-    # being served (per-recording calibration, one amortized f32 pass —
-    # per-CHANNEL scales were measured WORSE at the gate on trained
-    # checkpoints: folded-weight coarsening dominates the worst-measure
-    # tail, perf/gated_mode_experiment.py); that experiment gates this
-    # exact policy's worst-of-25-measures drift ≤1e-3 on both trained
-    # flagship-family checkpoints, and the export CLI enforces the gate
-    # per checkpoint (int8_drift_report). That satisfies BASELINE's
-    # "F within 1e-3" condition, so this mode competes for the headline.
+    # being served (per-recording calibration, one amortized f32 pass).
+    # Gate evidence (perf/gated_mode_experiment.py, trained checkpoints):
+    # this exact policy's worst-of-25-measures drift on the HEADLINE
+    # (SAUnet) family = 6.5e-4 PASS — that satisfies BASELINE's "F
+    # within 1e-3" condition for the SAUnet:XL metric this bench
+    # reports, so the mode competes for the headline. Quantization
+    # fitness is per-checkpoint: the PUnet family misses uniform static
+    # int8 (1.2-1.8e-3; per-channel/margins don't fix it) and uses
+    # eval.auto_hybrid_int8 — the export CLI enforces/repairs the gate
+    # per checkpoint (int8_drift_report / --int8-hybrid).
     if time.perf_counter() - bench_start < budget_s * 0.6:
         try:
             from multipitch_architectures_tpu.eval import (
@@ -252,10 +254,12 @@ def main():
                 out["value"] = round(int8_rt, 1)
                 out["vs_baseline"] = round(int8_rt / TARGET_RT, 3)
                 out["headline_mode"] = "windowed_int8_per_recording"
-                out["int8_gate"] = ("worst-of-25-measures drift <=1e-3 on "
-                                    "both trained flagship checkpoints "
-                                    "(perf/gated_mode_experiment.py); "
-                                    "enforced per checkpoint at export")
+                out["int8_gate"] = ("worst-of-25-measures drift 6.5e-4 "
+                                    "<= 1e-3 on the trained headline-"
+                                    "family (SAUnet) checkpoint (perf/"
+                                    "gated_mode_experiment.py); enforced "
+                                    "and auto-repaired per checkpoint at "
+                                    "export (auto_hybrid_int8)")
             fwd_q = SharedIncForward(model_grouped,
                                      activation_scales=scales)
             out["windowed_sharedinc_int8_rt"] = round(

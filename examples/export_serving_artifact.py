@@ -91,12 +91,21 @@ def cmd_export(args):
             t = x.shape[1]
             # centers clamped into the recording so short files yield
             # full-size (possibly duplicated) calibration windows
-            cal = []
-            for b in range(min(4, -(-t // 50))):
-                centers = np.minimum(half + 50 * b + np.arange(50),
-                                     half + t - 1)
-                cal.append(np.stack([xp[:, c - half:c + half + 1, :]
-                                     for c in centers]))
+            def batches(starts):
+                out = []
+                for s in starts:
+                    centers = np.minimum(half + s + np.arange(50),
+                                         half + t - 1)
+                    out.append(np.stack([xp[:, c - half:c + half + 1, :]
+                                         for c in centers]))
+                return out
+
+            cal = batches([50 * b for b in range(min(4, -(-t // 50)))])
+            # gate verification on windows SPREAD over the recording —
+            # the leading calibration span alone under-reports drift
+            # (perf/punet_hybrid_experiment.py)
+            verify = batches(sorted({int(s) for s in np.linspace(
+                0, max(t - 50, 0), num=min(6, -(-t // 50)))}))
         else:
             print("WARNING: --int8 without --calibrate-hcqt calibrates "
                   "activation scales on random noise; real recordings "
@@ -106,19 +115,20 @@ def cmd_export(args):
             rng = np.random.RandomState(0)
             cal = [np.log1p(10.0 * rng.rand(50, 6, 75, 216)
                             .astype(np.float32))]
+            verify = cal
         scales = calibrate_activation_scales(
             model, variables, cal, percentile=args.calibrate_percentile,
             margin=args.calibrate_margin,
             per_channel=args.calibrate_per_channel)
 
         # export-time accuracy gate (VERDICT r2): measure the f32-vs-int8
-        # drift on the calibration windows; refuse above the 1e-3 gate
+        # drift on the verification windows; refuse above the 1e-3 gate
         from multipitch_architectures_tpu.eval import int8_drift_report
 
-        report = int8_drift_report(model, variables, cal,
+        report = int8_drift_report(model, variables, verify,
                                    activation_scales=scales,
                                    gate=args.drift_gate)
-        print(f"int8 drift on calibration windows: worst measure "
+        print(f"int8 drift on verification windows: worst measure "
               f"{report['worst']:.2e} (gate {report['gate']:.0e}), "
               f"pred max {report['pred_max']:.2e} "
               f"mean {report['pred_mean']:.2e}"
@@ -127,17 +137,38 @@ def cmd_export(args):
         for k in sorted(report["measures"], key=report["measures"].get,
                         reverse=True)[:5]:
             print(f"  {k:28s} {report['measures'][k]:.2e}")
+        exclude = ()
+        if not report["passed"] and args.int8_hybrid:
+            # self-repair instead of refusing: greedily demote the
+            # drift-dominating convs to exact f32 until the gate passes
+            # (measured necessary for e.g. the trained PUnet family,
+            # where uniform static int8 lands ~1.8e-3)
+            from multipitch_architectures_tpu.eval import auto_hybrid_int8
+
+            print("gate failed; searching hybrid int8/f32 policy ...")
+            policy, report = auto_hybrid_int8(model, variables, cal,
+                                              gate=args.drift_gate,
+                                              per_channel=args
+                                              .calibrate_per_channel,
+                                              verbose=True,
+                                              verify_windows=verify)
+            scales, exclude = policy["activation_scales"], policy["exclude"]
+            print(f"hybrid policy: {len(exclude)} conv(s) kept f32 "
+                  f"({', '.join(exclude)}); worst drift "
+                  f"{report['worst']:.2e}")
         if not report["passed"]:
             msg = (f"int8 export REFUSED: worst measure drift "
                    f"{report['worst']:.2e} exceeds the {report['gate']:.0e}"
                    f" gate. Calibrate on representative data "
-                   f"(--calibrate-hcqt), raise --calibrate-margin, or pass"
-                   f" --allow-drift to export anyway.")
+                   f"(--calibrate-hcqt), pass --int8-hybrid to auto-demote"
+                   f" drifting convs to f32, raise --calibrate-margin, or "
+                   f"pass --allow-drift to export anyway.")
             if not args.allow_drift:
                 sys.exit(msg)
             print("WARNING: " + msg.replace("REFUSED", "exceeds gate"),
                   file=sys.stderr)
-        apply_fn = quantized_apply_fn(model, activation_scales=scales)
+        apply_fn = quantized_apply_fn(model, activation_scales=scales,
+                                      exclude=exclude)
 
     blob = export_window_forward(
         apply_fn, variables, batch_size=args.batch_size,
@@ -196,6 +227,11 @@ def main():
     e.add_argument("--drift-gate", type=float, default=1e-3,
                    help="max allowed int8 measure drift on the "
                         "calibration windows")
+    e.add_argument("--int8-hybrid", action="store_true",
+                   help="if the drift gate fails, auto-demote the most "
+                        "drift-damaging convs to exact f32 until it "
+                        "passes (eval.auto_hybrid_int8) instead of "
+                        "refusing the export")
     e.add_argument("--allow-drift", action="store_true",
                    help="export even if the drift gate fails (warns)")
     e.add_argument("--batch-size", type=int, default=50)

@@ -12,7 +12,8 @@ from .inference import (predict_framewise, predict_framewise_sharded,
                         predict_dense, predict_dense_chunked)
 from .quant import (quantized_apply_fn, quantized_conv,
                     calibrate_activation_scales, make_int8_interceptor,
-                    int8_drift_report, predict_framewise_int8)
+                    int8_drift_report, predict_framewise_int8,
+                    auto_hybrid_int8)
 from .shared_inc import SharedIncForward, predict_framewise_shared
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "calibrate_activation_scales",
     "int8_drift_report",
     "predict_framewise_int8",
+    "auto_hybrid_int8",
     "SharedIncForward",
     "predict_framewise_shared",
 ]

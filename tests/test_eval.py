@@ -396,6 +396,69 @@ def test_quantized_per_channel_scales_finer_than_per_tensor():
     assert np.abs(q_t - f32).max() < 5e-3
 
 
+def test_quantized_exclude_keeps_layers_f32():
+    """The hybrid-policy tier: paths in ``exclude`` run the exact f32
+    conv — excluding every quantized conv reproduces the f32 forward
+    bit-exactly, excluding a strict subset still differs from f32."""
+    from multipitch_architectures_tpu.eval import (
+        calibrate_activation_scales, quantized_apply_fn)
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 6, 75, 216),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    scales = calibrate_activation_scales(model, variables, [x])
+    assert scales                                   # something quantizes
+
+    f32 = np.asarray(jax.jit(
+        lambda v, xi: model.apply(v, xi, train=False))(variables, x))
+    all_f32 = np.asarray(jax.jit(quantized_apply_fn(
+        model, activation_scales=scales,
+        exclude=tuple(scales)))(variables, x))
+    np.testing.assert_array_equal(all_f32, f32)
+
+    part = np.asarray(jax.jit(quantized_apply_fn(
+        model, activation_scales=scales,
+        exclude=tuple(sorted(scales))[:1]))(variables, x))
+    assert (part != f32).any()
+
+
+def test_auto_hybrid_int8_demotes_until_gate():
+    """auto_hybrid_int8 greedily demotes convs to f32: an impossible
+    (negative) gate forces full demotion — the returned policy excludes
+    every quantized conv, reproduces f32 exactly, and reports zero
+    drift; a generous gate returns the untouched full-static policy."""
+    from multipitch_architectures_tpu.eval import (auto_hybrid_int8,
+                                                   quantized_apply_fn)
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    rng = np.random.RandomState(6)
+    cal = [jnp.asarray(rng.rand(4, 6, 75, 216), jnp.float32)
+           for _ in range(2)]
+    variables = model.init({"params": jax.random.PRNGKey(0)}, cal[0],
+                           train=False)
+
+    policy, report = auto_hybrid_int8(model, variables, cal, gate=-1.0)
+    assert not policy["activation_scales"] and policy["exclude"]
+    f32 = np.asarray(jax.jit(
+        lambda v, xi: model.apply(v, xi, train=False))(variables, cal[0]))
+    got = np.asarray(jax.jit(quantized_apply_fn(
+        model, **policy))(variables, cal[0]))
+    np.testing.assert_array_equal(got, f32)
+    assert report["worst"] == 0.0 and report["pred_max"] == 0.0
+
+    policy2, report2 = auto_hybrid_int8(model, variables, cal, gate=10.0)
+    assert report2["passed"] and not policy2["exclude"]
+    assert policy2["activation_scales"]
+
+
 def test_predict_framewise_int8_matches_manual_composition():
     """The one-call gated serving mode (per-recording, per-tensor
     calibration + windowed int8 protocol) equals the hand-rolled

@@ -232,7 +232,7 @@ def test_export_cli_refuses_int8_drift(tmp_path):
                 model_args='{"n_chan_layers":[8,8,4,2],"n_bins_out":72}',
                 checkpoint=None, group=0, int8=True, calibrate_hcqt=None,
                 calibrate_percentile=None, calibrate_margin=1.0,
-                calibrate_per_channel=False,
+                calibrate_per_channel=False, int8_hybrid=False,
                 batch_size=4, platforms="", out=str(out),
                 allow_drift=False, drift_gate=1e-3)
 
