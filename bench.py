@@ -221,45 +221,107 @@ def main():
 
     # calibrated static-scale int8 serving mode: same windowed protocol
     # composition, conv arithmetic in W8A8 (eval/quant.py). Per-tensor
-    # scales calibrated on the first protocol batches of the recording
-    # being served (per-recording calibration, one amortized f32 pass).
-    # Gate evidence (perf/gated_mode_experiment.py, trained checkpoints):
-    # this exact policy's worst-of-25-measures drift on the HEADLINE
-    # (SAUnet) family = 6.5e-4 PASS — that satisfies BASELINE's "F
-    # within 1e-3" condition for the SAUnet:XL metric this bench
-    # reports, so the mode competes for the headline. Quantization
-    # fitness is per-checkpoint: the PUnet family misses uniform static
-    # int8 (1.2-1.8e-3; per-channel/margins don't fix it) and uses
+    # scales calibrated on the first 4 protocol batches of the recording
+    # being served (per-recording calibration, predict_framewise_int8's
+    # exact policy). The calibration pass is INSIDE the timed
+    # executable — per-recording means it is paid per served recording —
+    # and, as in the serving call, its exact-f32 outputs ARE the
+    # predictions for the calibration span (reuse_cal_predictions), so
+    # calibration costs one probe rather than an extra 8% of window
+    # work. Gate evidence (perf/gated_mode_experiment.py, trained
+    # checkpoints): this policy's worst-of-25-measures drift on the
+    # HEADLINE (SAUnet) family = 6.5e-4 PASS (the reused f32 span can
+    # only shrink that) — it satisfies BASELINE's "F within 1e-3"
+    # condition for the SAUnet:XL metric this bench reports, so the
+    # mode competes for the headline. Quantization fitness is
+    # per-checkpoint: the PUnet family misses uniform static int8
+    # (1.2-1.8e-3; per-channel/margins don't fix it) and uses
     # eval.auto_hybrid_int8 — the export CLI enforces/repairs the gate
     # per checkpoint (int8_drift_report / --int8-hybrid).
     if time.perf_counter() - bench_start < budget_s * 0.6:
         try:
+            import flax.linen as nn
+
             from multipitch_architectures_tpu.eval import (
                 SharedIncForward, calibrate_activation_scales,
-                quantized_apply_fn)
+                make_int8_interceptor, quantized_apply_fn)
+            from multipitch_architectures_tpu.eval.quant import _probe_for
 
-            xp_cal = features(audio_dev)
-            cal = [gather_windows(xp_cal, HALF + GROUP * b
-                                  + np.arange(GROUP), 75)
-                   for b in range(4)]
-            scales = calibrate_activation_scales(model_grouped, variables,
-                                                 cal)
-            int8_apply = quantized_apply_fn(model_grouped,
-                                            activation_scales=scales)
-            # same denominator as the headline: full dispatches + tails
-            int8_rt = timed_rt(make_windowed(int8_apply), variables,
-                               audio_dev)
+            N_CAL = 4                       # serving-call default policy
+            cal_centers = jnp.asarray(HALF + np.arange(N_CAL * GROUP))
+            rest0 = N_CAL * GROUP
+            n_rest_full = ((n_frames - rest0) // BATCH) * BATCH
+            rest_mat = jnp.asarray(
+                (HALF + rest0 + np.arange(n_rest_full)).reshape(-1, BATCH))
+            rest_tails = []
+            start = rest0 + n_rest_full
+            while start < n_frames:
+                n = min(GROUP, n_frames - start)
+                rest_tails.append(jnp.asarray(HALF + start + np.arange(n)))
+                start += n
+
+            probe = _probe_for(model_grouped, 4096, None, False, True)
+
+            @jax.jit
+            def int8_serve(variables, audio):
+                xp = features(audio)
+                # calibration = one exact-f32 grouped forward, capturing
+                # per-conv max|x|; its outputs serve the first 200 frames
+                (y_cal, _), captured = probe.jit(
+                    variables, gather_windows(xp, cal_centers, 75))
+                scales = {k: jnp.maximum(v, 1e-12) / 127.0
+                          for k, v in zip(list(probe.keys), captured)}
+                interceptor = make_int8_interceptor(4096, scales)
+
+                def apply_q(v, xw):
+                    with nn.intercept_methods(interceptor):
+                        return model_grouped.apply(v, xw, train=False)
+
+                def body(acc, centers):
+                    y = apply_q(variables, gather_windows(xp, centers, 75))
+                    return acc + jnp.sum(y.astype(jnp.float32)), None
+
+                total, _ = jax.lax.scan(
+                    body, jnp.sum(y_cal.astype(jnp.float32)), rest_mat)
+                for c in rest_tails:
+                    y = apply_q(variables, gather_windows(xp, c, 75))
+                    total = total + jnp.sum(y.astype(jnp.float32))
+                return total
+
+            int8_rt = timed_rt(int8_serve, variables, audio_dev)
             out["windowed_int8_rt"] = round(int8_rt, 1)
             if int8_rt > out["value"]:
                 out["value"] = round(int8_rt, 1)
                 out["vs_baseline"] = round(int8_rt / TARGET_RT, 3)
                 out["headline_mode"] = "windowed_int8_per_recording"
+                out["int8_accounting"] = (
+                    "per-recording calibration probe inside the timed "
+                    "executable; its f32 outputs serve the calibration "
+                    "span (reuse_cal_predictions), int8 serves the rest "
+                    "— same audio span as every other mode")
                 out["int8_gate"] = ("worst-of-25-measures drift 6.5e-4 "
                                     "<= 1e-3 on the trained headline-"
                                     "family (SAUnet) checkpoint (perf/"
                                     "gated_mode_experiment.py); enforced "
                                     "and auto-repaired per checkpoint at "
                                     "export (auto_hybrid_int8)")
+
+            # steady-state (calibration excluded, whole span int8): the
+            # round-2/3 cross-round comparable; also feeds shared-inc.
+            # Secondary records — only when the budget clearly allows.
+            if time.perf_counter() - bench_start > budget_s * 0.7:
+                raise TimeoutError("skip secondary int8 records")
+            xp_cal = features(audio_dev)
+            cal = [gather_windows(xp_cal, HALF + GROUP * b
+                                  + np.arange(GROUP), 75)
+                   for b in range(N_CAL)]
+            scales = calibrate_activation_scales(model_grouped, variables,
+                                                 cal)
+            int8_apply = quantized_apply_fn(model_grouped,
+                                            activation_scales=scales)
+            out["windowed_int8_steady_rt"] = round(
+                timed_rt(make_windowed(int8_apply), variables, audio_dev),
+                1)
             fwd_q = SharedIncForward(model_grouped,
                                      activation_scales=scales)
             out["windowed_sharedinc_int8_rt"] = round(

@@ -13,7 +13,8 @@ from .inference import (predict_framewise, predict_framewise_sharded,
 from .quant import (quantized_apply_fn, quantized_conv,
                     calibrate_activation_scales, make_int8_interceptor,
                     int8_drift_report, predict_framewise_int8,
-                    auto_hybrid_int8)
+                    auto_hybrid_int8, calibrate_with_predictions,
+                    quantized_serving_fn, SCALES_COLLECTION)
 from .shared_inc import SharedIncForward, predict_framewise_shared
 
 __all__ = [
@@ -34,6 +35,9 @@ __all__ = [
     "int8_drift_report",
     "predict_framewise_int8",
     "auto_hybrid_int8",
+    "calibrate_with_predictions",
+    "quantized_serving_fn",
+    "SCALES_COLLECTION",
     "SharedIncForward",
     "predict_framewise_shared",
 ]

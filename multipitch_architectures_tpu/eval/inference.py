@@ -73,7 +73,8 @@ def _next_batch_size(remaining, batch_size, group):
 
 
 def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
-                      compression=10.0, group=None, return_aux=False):
+                      compression=10.0, group=None, return_aux=False,
+                      start_frame=0):
     """Per-frame predictions for a whole recording.
 
     Args:
@@ -90,9 +91,15 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
         return_aux: also return the model's second output flattened per
             frame (the polyphony head of the PUnet family, used by the
             reference's notebook 02) as ``(pred, aux)``.
+        start_frame: predict frames ``[start_frame, T)`` only (the caller
+            already holds the earlier frames, e.g. from an int8 serve's
+            f32 calibration pass — ``predict_framewise_int8``). Batch
+            composition stays reference-exact when ``start_frame`` is a
+            multiple of ``batch_size`` (the reference loader's batches
+            are consecutive from frame 0).
 
-    Returns: np.ndarray (T, n_bins), or ``(pred, aux (T, n_aux))`` with
-    ``return_aux=True``.
+    Returns: np.ndarray (T - start_frame, n_bins), or ``(pred, aux)``
+    with ``return_aux=True``.
 
     Results are fetched to the host once at the end (a per-batch fetch
     would synchronize every dispatch — expensive through a relayed TPU
@@ -110,7 +117,9 @@ def predict_framewise(apply_fn, variables, inputs, context=75, batch_size=50,
                          f"attention group {group}")
 
     outs, auxs = [], []
-    start = 0
+    start = int(start_frame)
+    if not 0 <= start < t:
+        raise ValueError(f"start_frame {start_frame} outside [0, {t})")
     while start < t:
         # the tail runs at its natural size (one extra compile) rather
         # than padded with duplicate windows: under the reference's

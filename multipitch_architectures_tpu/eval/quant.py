@@ -25,7 +25,26 @@ trained checkpoints): TRAINING-set static scales fail the 1e-3 measure
 gate at every margin/percentile tried (1.2e-3..1.2e-2); dynamic passes
 (8e-4); per-RECORDING calibration (scales from the recording being
 served, perf/gated_mode_experiment.py) is the fast gated policy.
+
+Serving-call economics (:func:`predict_framewise_int8`): the serving
+forward is compiled ONCE across recordings (scales are traced arguments
+— :func:`quantized_serving_fn`), and the calibration pass's exact f32
+outputs serve the calibration span (:func:`calibrate_with_predictions`),
+so per-recording calibration costs one probe dispatch, not an extra
+f32 pass on top of the full int8 pass.
+
+.. note:: int8 outputs are reproducible only WITHIN one compiled
+   program. Two different programs of the same int8 computation (e.g.
+   scales baked as constants vs passed as arguments, or eager vs jit)
+   differ at the ~1e-3 level: ulp-level fusion differences in the
+   upstream f32 ops flip ``round(x/s)`` quantization bins. This is
+   inherent to quantization (the rounding cliff amplifies last-ulp
+   noise) and is well inside the measured drift-gate budget; it only
+   matters when bitwise-comparing int8 outputs across program
+   boundaries (tests do so with a 5e-3 bound).
 """
+
+import functools
 
 import numpy as np
 import jax
@@ -150,6 +169,104 @@ def make_int8_interceptor(min_kernel_elems: int = 4096,
     return interceptor
 
 
+class _CalibrationProbe:
+    """Jitted activation-range probe for one (model, capture policy).
+
+    Instances are cached (:func:`_probe_for`) so SERVING calls that
+    calibrate per recording reuse ONE compiled executable per input
+    shape — a fresh closure per call would recompile the full forward
+    for every recording (minutes through a relayed TPU backend).
+    ``keys`` holds the conv module paths in capture order; it is filled
+    at trace time and persists across cached calls."""
+
+    def __init__(self, model, min_kernel_elems, percentile, per_channel,
+                 with_predictions):
+        self.keys = []
+
+        def probe(v, x):
+            del self.keys[:]                             # trace-time reset
+            captured = []
+
+            def capture(next_fun, args, kwargs, context):
+                mod = context.module
+                if (isinstance(mod, nn.Conv)
+                        and context.method_name == "__call__"
+                        and "params" in mod.variables
+                        and mod.variables["params"]["kernel"].size
+                        >= min_kernel_elems and _plain_conv(mod)):
+                    self.keys.append("/".join(mod.path))
+                    a = jnp.abs(args[0])
+                    if per_channel:          # (B,H,W,Cin) -> (Cin,)
+                        red = tuple(range(a.ndim - 1))
+                        captured.append(
+                            jnp.percentile(a, percentile, axis=red)
+                            if percentile is not None
+                            else jnp.max(a, axis=red))
+                    else:
+                        captured.append(
+                            jnp.percentile(a, percentile)
+                            if percentile is not None else jnp.max(a))
+                return next_fun(*args, **kwargs)
+
+            with nn.intercept_methods(capture):
+                y = model.apply(v, x, train=False)
+            if with_predictions:
+                aux = None
+                if isinstance(y, tuple):
+                    y, aux = y[0], y[1]
+                y = y.reshape(y.shape[0], -1)
+                aux = (aux.reshape(aux.shape[0], -1) if aux is not None
+                       else jnp.zeros((y.shape[0], 0)))
+                return (y, aux), captured
+            return captured
+
+        self.jit = jax.jit(probe)
+
+
+@functools.lru_cache(maxsize=64)
+def _probe_for(model, min_kernel_elems, percentile, per_channel,
+               with_predictions):
+    """flax Modules hash/compare structurally, so equivalent model
+    configs share one probe (and its jit caches) across serving calls."""
+    return _CalibrationProbe(model, min_kernel_elems, percentile,
+                             per_channel, with_predictions)
+
+
+def calibrate_with_predictions(model, variables, sample_inputs,
+                               min_kernel_elems: int = 4096,
+                               margin: float = 1.0,
+                               per_channel: bool = False):
+    """Per-recording calibration that keeps the f32 predictions.
+
+    The calibration pass IS a full-precision protocol forward over the
+    calibration windows, so its outputs are exact f32 predictions for
+    those windows — a per-recording int8 serve that reuses them pays
+    only the probe dispatch for calibration instead of recomputing the
+    calibration span in int8 (:func:`predict_framewise_int8`).
+
+    Returns ``(scales, preds)``: ``scales`` as
+    :func:`calibrate_activation_scales`, ``preds`` a list of
+    ``(main (B, n_bins), aux (B, n_aux))`` np-array pairs per sample
+    batch (``aux`` has width 0 for single-head models).
+    """
+    probe = _probe_for(model, min_kernel_elems, None, per_channel, True)
+    maxes, preds = {}, []
+    for x in sample_inputs:
+        (y, aux), vals = probe.jit(variables, jnp.asarray(x))
+        preds.append((np.asarray(y), np.asarray(aux)))
+        for k, v in zip(list(probe.keys), [np.asarray(v) for v in vals]):
+            maxes[k] = np.maximum(maxes.get(k, 0.0), v)
+    return _scales_from_maxes(maxes, margin, per_channel), preds
+
+
+def _scales_from_maxes(maxes, margin, per_channel):
+    if per_channel:
+        return {k: np.maximum(v * margin, 1e-12).astype(np.float32) / 127.0
+                for k, v in maxes.items()}
+    return {k: max(float(v) * margin, 1e-12) / 127.0
+            for k, v in maxes.items()}
+
+
 def calibrate_activation_scales(model, variables, sample_inputs,
                                 min_kernel_elems: int = 4096,
                                 percentile: float = None,
@@ -180,50 +297,15 @@ def calibrate_activation_scales(model, variables, sample_inputs,
             quantization of the folded weights; drift measured per
             checkpoint by perf/gated_mode_experiment.py.
     """
-    import jax as _jax
-
-    keys = []
-
-    def probe(v, x):
-        del keys[:]                                      # trace-time reset
-        captured = []
-
-        def capture(next_fun, args, kwargs, context):
-            mod = context.module
-            if (isinstance(mod, nn.Conv)
-                    and context.method_name == "__call__"
-                    and "params" in mod.variables
-                    and mod.variables["params"]["kernel"].size
-                    >= min_kernel_elems and _plain_conv(mod)):
-                keys.append("/".join(mod.path))
-                a = jnp.abs(args[0])
-                if per_channel:              # (B,H,W,Cin) -> (Cin,)
-                    red = tuple(range(a.ndim - 1))
-                    captured.append(
-                        jnp.percentile(a, percentile, axis=red)
-                        if percentile is not None else jnp.max(a, axis=red))
-                else:
-                    captured.append(
-                        jnp.percentile(a, percentile)
-                        if percentile is not None else jnp.max(a))
-            return next_fun(*args, **kwargs)
-
-        with nn.intercept_methods(capture):
-            model.apply(v, x, train=False)
-        return captured                       # list pytree (ragged shapes)
-
-    probe_jit = _jax.jit(probe)
+    probe = _probe_for(model, min_kernel_elems, percentile, per_channel,
+                       False)
     maxes = {}
     for x in sample_inputs:
-        vals = [np.asarray(v) for v in probe_jit(variables, jnp.asarray(x))]
+        vals = [np.asarray(v) for v in probe.jit(variables, jnp.asarray(x))]
         # `keys` holds the most recent trace's order; cached calls keep it
-        for k, v in zip(list(keys), vals):
+        for k, v in zip(list(probe.keys), vals):
             maxes[k] = np.maximum(maxes.get(k, 0.0), v)
-    if per_channel:
-        return {k: np.maximum(v * margin, 1e-12).astype(np.float32) / 127.0
-                for k, v in maxes.items()}
-    return {k: max(float(v) * margin, 1e-12) / 127.0
-            for k, v in maxes.items()}
+    return _scales_from_maxes(maxes, margin, per_channel)
 
 
 DRIFT_GATE_MEASURES = (
@@ -307,7 +389,7 @@ def auto_hybrid_int8(model, variables, cal_windows,
                      min_kernel_elems: int = 4096, gate: float = 1e-3,
                      per_channel: bool = False, threshold: float = 0.4,
                      min_pitch: int = 24, verbose: bool = False,
-                     verify_windows=None):
+                     verify_windows=None, activation_scales=None):
     """Find an int8 policy that PASSES the drift gate on this checkpoint.
 
     Uniform static W8A8 does not fit every trained checkpoint: measured
@@ -347,6 +429,11 @@ def auto_hybrid_int8(model, variables, cal_windows,
     same regime). Keeping a handful of convs in f32 costs their share of
     FLOPs but preserves the int8 speed of everything else.
 
+    ``activation_scales`` skips the internal calibration when the caller
+    already holds scales for ``cal_windows`` (e.g. from
+    :func:`calibrate_with_predictions`); the dict is copied, not
+    mutated.
+
     Returns ``(policy, report)`` where ``policy`` is a dict with
     ``activation_scales`` / ``exclude`` (the f32-fallback paths in
     demotion order) / ``min_kernel_elems`` — splattable into
@@ -354,9 +441,11 @@ def auto_hybrid_int8(model, variables, cal_windows,
     **policy)`` — and ``report`` is the passing
     :func:`int8_drift_report`.
     """
-    scales = calibrate_activation_scales(model, variables, cal_windows,
-                                         min_kernel_elems,
-                                         per_channel=per_channel)
+    scales = (dict(activation_scales) if activation_scales is not None
+              else calibrate_activation_scales(model, variables,
+                                               cal_windows,
+                                               min_kernel_elems,
+                                               per_channel=per_channel))
     verify = cal_windows if verify_windows is None else verify_windows
     report = int8_drift_report(model, variables, verify, scales,
                                min_kernel_elems, threshold, min_pitch, gate)
@@ -405,28 +494,49 @@ def predict_framewise_int8(model, variables, inputs, context: int = 75,
                            group=None, cal_batches: int = 4,
                            per_channel: bool = False,
                            min_kernel_elems: int = 4096, gate: float = None,
+                           reuse_cal_predictions: bool = True,
                            **predict_kwargs):
     """Whole-recording framewise prediction in the gated int8 serving
     mode: per-RECORDING calibration (activation scales from the first
-    ``cal_batches`` protocol window batches of this recording — one
-    amortized f32 pass), per-TENSOR static scales by default (per-channel
-    is available but measured WORSE at the worst-measure gate on trained
-    checkpoints: the channel scales fold into the kernel and coarsen
-    per-output-channel weight quantization — perf/gated_mode_experiment),
-    then the windowed protocol with W8A8 convs. This is exactly the
-    policy bench.py times and perf/gated_mode_experiment.py measures on
-    trained flagship-family checkpoints (worst-of-25-measures drift vs
-    the f32 protocol: SAUnet 6.5e-4 PASS; PUnet 1.8e-3 — checkpoints
-    where uniform static int8 misses the gate need ``gate=``). Same
-    signature semantics as
+    ``cal_batches`` protocol window batches of this recording),
+    per-TENSOR static scales by default (per-channel is available but
+    measured WORSE at the worst-measure gate on trained checkpoints: the
+    channel scales fold into the kernel and coarsen per-output-channel
+    weight quantization — perf/gated_mode_experiment), then the windowed
+    protocol with W8A8 convs. This is the policy bench.py times and
+    perf/gated_mode_experiment.py measures on trained flagship-family
+    checkpoints (worst-of-25-measures drift vs the f32 protocol: SAUnet
+    6.5e-4 PASS; PUnet 1.8e-3 — checkpoints where uniform static int8
+    misses the gate need ``gate=``). Same signature semantics as
     :func:`~multipitch_architectures_tpu.eval.predict_framewise`.
 
+    Per-recording serving economics (both measured, bench.py):
+
+    - the calibration pass is not dead weight: it is an exact f32
+      protocol forward over the calibration span, so by default its
+      predictions are RETURNED for those frames and the int8 pass
+      starts after them (``reuse_cal_predictions``) — calibration then
+      costs one probe dispatch instead of an extra ~8 % of a
+      60-s recording's window work (and the calibration span is exact);
+    - the int8 executable takes the scales as traced ARGUMENTS
+      (:func:`quantized_serving_fn`), so the first recording compiles it
+      and every later recording reuses it — baking each recording's
+      scales into a fresh closure would recompile the full windowed
+      forward per recording.
+
     Args:
-        gate: if set (e.g. 1e-3), verify the policy on the calibration
-            windows and auto-demote drift-dominating layers to f32 until
-            the measure drift passes (:func:`auto_hybrid_int8`) — a
-            self-gating serving call at the cost of the search's extra
-            compiles on the first recording.
+        gate: if set (e.g. 1e-3), verify the policy on windows spread
+            across the recording and auto-demote drift-dominating layers
+            to f32 until the measure drift passes
+            (:func:`auto_hybrid_int8`) — a self-gating serving call at
+            the cost of the search's extra compiles on the first
+            recording.
+        reuse_cal_predictions: serve the calibration-span frames from
+            the calibration pass's exact f32 outputs (default). Only
+            full unclipped calibration batches are reused — their batch
+            composition equals the reference loader's, so the spliced
+            output is protocol-composed everywhere (f32-exact on the
+            calibration span, int8 after it).
     """
     from ..data.windows import gather_windows
     from .inference import predict_framewise
@@ -437,11 +547,33 @@ def predict_framewise_int8(model, variables, inputs, context: int = 75,
     half = context // 2
     xp = jnp.pad(x, ((0, 0), (half, half + 1), (0, 0)))
     t = x.shape[1]
+
+    # Calibration batches = the first protocol batches. Full batches
+    # fuse into ONE probe dispatch when the attention is grouped
+    # (cross_batch:<group> keeps the reference composition for any
+    # multiple of the group); without `group` the composition of each
+    # dispatch must BE one reference batch, so they stay separate.
+    n_cal = min(cal_batches, -(-t // batch_size))
+    n_full = min(cal_batches, t // batch_size)
     cal = []
-    for b in range(min(cal_batches, -(-t // batch_size))):
-        centers = np.minimum(half + batch_size * b + np.arange(batch_size),
-                             half + t - 1)
+    if group is not None and n_full:
+        cal.append(gather_windows(
+            xp, jnp.asarray(half + np.arange(n_full * batch_size)),
+            context))
+    else:
+        for b in range(n_full):
+            cal.append(gather_windows(
+                xp, jnp.asarray(half + batch_size * b
+                                + np.arange(batch_size)), context))
+    for b in range(n_full, n_cal):      # clipped (short recording): used
+        centers = np.minimum(          # for scales only, never reused
+            half + batch_size * b + np.arange(batch_size), half + t - 1)
         cal.append(gather_windows(xp, jnp.asarray(centers), context))
+
+    scales, cal_preds = calibrate_with_predictions(
+        model, variables, cal, min_kernel_elems, per_channel=per_channel)
+
+    exclude = ()
     if gate is not None:
         # verification windows SPREAD across the recording (the gate's
         # blind spot is content outside the leading calibration span)
@@ -456,16 +588,76 @@ def predict_framewise_int8(model, variables, inputs, context: int = 75,
         policy, _ = auto_hybrid_int8(model, variables, cal,
                                      min_kernel_elems, gate,
                                      per_channel=per_channel,
-                                     verify_windows=verify)
-        apply_fn = quantized_apply_fn(model, **policy)
-    else:
-        scales = calibrate_activation_scales(
-            model, variables, cal, min_kernel_elems=min_kernel_elems,
-            per_channel=per_channel)
-        apply_fn = quantized_apply_fn(model, min_kernel_elems, scales)
-    return predict_framewise(apply_fn, variables, x, context=context,
+                                     verify_windows=verify,
+                                     activation_scales=scales)
+        scales, exclude = policy["activation_scales"], policy["exclude"]
+
+    apply_fn = quantized_serving_fn(model, min_kernel_elems,
+                                    tuple(exclude))
+    vq = dict(variables)
+    vq[SCALES_COLLECTION] = {k: jnp.asarray(v, jnp.float32)
+                             for k, v in scales.items()}
+
+    start_frame = n_full * batch_size if reuse_cal_predictions else 0
+    return_aux = bool(predict_kwargs.get("return_aux"))
+    # reused rows come from the FULL batches only (cal_preds rows beyond
+    # them belong to clipped batches and are never counted here)
+    if start_frame >= t:                 # whole recording was calibrated
+        main = np.concatenate([p for p, _ in cal_preds], axis=0)[:t]
+        if return_aux:
+            return main, np.concatenate([a for _, a in cal_preds],
+                                        axis=0)[:t]
+        return main
+    rest = predict_framewise(apply_fn, vq, x, context=context,
                              batch_size=batch_size, compression=None,
-                             group=group, **predict_kwargs)
+                             group=group, start_frame=start_frame,
+                             **predict_kwargs)
+    if not start_frame:
+        return rest
+    main = np.concatenate([p for p, _ in cal_preds],
+                          axis=0)[:start_frame]
+    if return_aux:
+        rest_main, rest_aux = rest
+        aux = np.concatenate([a for _, a in cal_preds],
+                             axis=0)[:start_frame]
+        return (np.concatenate([main, rest_main], axis=0),
+                np.concatenate([aux, rest_aux], axis=0))
+    return np.concatenate([main, rest], axis=0)
+
+
+SCALES_COLLECTION = "int8_scales"
+
+
+@functools.lru_cache(maxsize=64)
+def quantized_serving_fn(model, min_kernel_elems: int = 4096, exclude=()):
+    """Compile-once int8 forward for per-recording calibrated serving.
+
+    Returns ``(variables, x) -> y`` like :func:`quantized_apply_fn`, but
+    the static activation scales are read from a ``'int8_scales'`` entry
+    INSIDE the variables pytree (``{module-path: scale}``) instead of
+    being baked into the closure. Scales are then traced jit arguments:
+    one compiled executable serves every recording, and per-recording
+    calibration only changes argument VALUES. A fresh
+    ``quantized_apply_fn`` closure per recording would recompile the
+    whole windowed forward each time (jit treats ``apply_fn`` as a
+    static argument keyed by identity — minutes per recording through a
+    relayed TPU backend). The function itself is cached per
+    (model, policy) for the same reason.
+
+    Layers absent from the scales dict run DYNAMIC per-call scales;
+    ``exclude`` paths stay exact f32 (hybrid policies,
+    :func:`auto_hybrid_int8`).
+    """
+
+    def apply_fn(variables, x):
+        variables = dict(variables)
+        scales = variables.pop(SCALES_COLLECTION, None)
+        interceptor = make_int8_interceptor(min_kernel_elems, scales,
+                                            exclude)
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, x, train=False)
+
+    return apply_fn
 
 
 def quantized_apply_fn(model, min_kernel_elems: int = 4096,

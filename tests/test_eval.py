@@ -462,7 +462,11 @@ def test_auto_hybrid_int8_demotes_until_gate():
 def test_predict_framewise_int8_matches_manual_composition():
     """The one-call gated serving mode (per-recording, per-tensor
     calibration + windowed int8 protocol) equals the hand-rolled
-    calibrate→quantized_apply→predict_framewise sequence bit-exactly."""
+    calibrate→quantized_apply→predict_framewise sequence: by default the
+    calibration span (the first full protocol batches) is served from
+    the calibration pass's exact f32 forward and only the remaining
+    frames run int8; ``reuse_cal_predictions=False`` recovers the
+    all-int8 composition."""
     from multipitch_architectures_tpu.data.windows import gather_windows
     from multipitch_architectures_tpu.eval import (
         calibrate_activation_scales, predict_framewise,
@@ -479,6 +483,9 @@ def test_predict_framewise_int8_matches_manual_composition():
 
     got = predict_framewise_int8(model, variables, inputs, batch_size=25,
                                  cal_batches=2)
+    got_all_int8 = predict_framewise_int8(model, variables, inputs,
+                                          batch_size=25, cal_batches=2,
+                                          reuse_cal_predictions=False)
 
     x = jnp.log1p(10.0 * jnp.asarray(inputs))
     xp = jnp.pad(x, ((0, 0), (37, 38), (0, 0)))
@@ -486,10 +493,143 @@ def test_predict_framewise_int8_matches_manual_composition():
         xp, jnp.asarray(np.minimum(37 + 25 * b + np.arange(25),
                                    37 + 60 - 1)), 75) for b in range(2)]
     scales = calibrate_activation_scales(model, variables, cal)
-    want = predict_framewise(
+    q_all = predict_framewise(
         quantized_apply_fn(model, activation_scales=scales), variables,
         inputs, batch_size=25)
-    np.testing.assert_array_equal(got, want)
+    f32_all = predict_framewise(
+        lambda v, xi: model.apply(v, xi, train=False), variables, inputs,
+        batch_size=25)
+    # cal span (2 full batches of 25) = exact f32 (tight tolerance: both
+    # sides are pure f32 programs); remainder = int8. Int8 outputs are
+    # only comparable ACROSS differently-compiled programs to bin-flip
+    # noise: ulp-level fusion differences in the upstream f32 ops flip
+    # round(x/s) quantization bins, measured ~1e-3 on this model (both
+    # jitted variants sit ~1e-3 from the eager ground truth) — so int8
+    # cross-program assertions use a 5e-3 bound, which still catches a
+    # wrong or unread scale (~1e-2+).
+    np.testing.assert_allclose(got[:50], f32_all[:50], atol=1e-6, rtol=0)
+    np.testing.assert_allclose(got[50:], q_all[50:], atol=5e-3, rtol=0)
+    np.testing.assert_allclose(got_all_int8, q_all, atol=5e-3, rtol=0)
+    # and the f32 reuse really is the f32 path, not int8: on the cal
+    # span the two compositions must differ by genuine quantization
+    # noise (unless int8 were a perfect roundtrip, which it is not here)
+    assert np.abs(got[:50] - q_all[:50]).max() > 1e-6
+
+
+def test_predict_framewise_int8_short_recording_all_f32():
+    """A recording no longer than the calibration span is served
+    entirely from the exact f32 calibration pass."""
+    from multipitch_architectures_tpu.eval import (predict_framewise,
+                                                   predict_framewise_int8)
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    rng = np.random.RandomState(8)
+    inputs = rng.rand(6, 25, 216).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    got = predict_framewise_int8(model, variables, inputs, batch_size=25,
+                                 cal_batches=2)
+    f32 = predict_framewise(
+        lambda v, xi: model.apply(v, xi, train=False), variables, inputs,
+        batch_size=25)
+    np.testing.assert_allclose(got, f32, atol=1e-6, rtol=0)
+
+
+def test_predict_framewise_int8_compile_once_across_recordings():
+    """Per-recording calibration must NOT recompile the serving forward:
+    scales travel as traced arguments (quantized_serving_fn), so a
+    second recording with new scale values hits every jit cache."""
+    from multipitch_architectures_tpu.eval import predict_framewise_int8
+    from multipitch_architectures_tpu.eval.inference import _window_forward
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    rng = np.random.RandomState(9)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    rec1 = rng.rand(6, 60, 216).astype(np.float32)
+    rec2 = (2.5 * rng.rand(6, 60, 216)).astype(np.float32)  # new scales
+
+    predict_framewise_int8(model, variables, rec1, batch_size=25,
+                           cal_batches=1)
+    before = _window_forward._cache_size()
+    out2 = predict_framewise_int8(model, variables, rec2, batch_size=25,
+                                  cal_batches=1)
+    assert _window_forward._cache_size() == before, \
+        "second recording recompiled the int8 serving forward"
+    assert out2.shape == (60, 72)
+
+
+def test_quantized_serving_fn_matches_baked_scales():
+    """Scales passed inside the variables pytree (traced) produce the
+    same outputs as the closure-baked quantized_apply_fn."""
+    from multipitch_architectures_tpu.eval import (
+        SCALES_COLLECTION, calibrate_activation_scales, quantized_apply_fn,
+        quantized_serving_fn)
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.rand(4, 6, 75, 216), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    scales = calibrate_activation_scales(model, variables, [x])
+    assert scales
+
+    baked_fn = quantized_apply_fn(model, activation_scales=scales)
+    baked = np.asarray(jax.jit(baked_fn)(variables, x))
+    fn = quantized_serving_fn(model)
+    assert fn is quantized_serving_fn(model)          # cached per policy
+    vq = dict(variables)
+    vq[SCALES_COLLECTION] = {k: jnp.asarray(v, jnp.float32)
+                             for k, v in scales.items()}
+    served = np.asarray(jax.jit(fn)(vq, x))
+    # un-jitted, the two paths are BIT-identical (same ops, same scale
+    # values); under jit they are the same computation in two different
+    # programs, which for the int8 path means bin-flip-level noise
+    # (~1e-3 measured — ulp fusion differences flip round(x/s) bins).
+    eager_baked = np.asarray(baked_fn(variables, x))
+    np.testing.assert_array_equal(np.asarray(fn(vq, x)), eager_baked)
+    np.testing.assert_allclose(served, baked, atol=5e-3, rtol=0)
+    # the traced scales are genuinely read: `served` and this distorted
+    # call share ONE compiled program (same jitted fn, same shapes), so
+    # any structured difference is purely the scale values' effect — if
+    # the scales were ignored the diff would be exactly zero
+    vq_bad = dict(variables)
+    vq_bad[SCALES_COLLECTION] = {k: jnp.asarray(v * 8.0, jnp.float32)
+                                 for k, v in scales.items()}
+    distorted = np.asarray(jax.jit(fn)(vq_bad, x))
+    assert np.abs(distorted - served).max() > 1e-4
+
+
+def test_predict_framewise_start_frame():
+    """start_frame returns exactly the tail rows of the full protocol
+    (composition preserved when start_frame is a batch multiple)."""
+    from multipitch_architectures_tpu.eval import predict_framewise
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64)
+    rng = np.random.RandomState(11)
+    inputs = rng.rand(6, 60, 216).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    apply_fn = lambda v, xi: model.apply(v, xi, train=False)
+    full = predict_framewise(apply_fn, variables, inputs, batch_size=25)
+    tail = predict_framewise(apply_fn, variables, inputs, batch_size=25,
+                             start_frame=25)
+    np.testing.assert_array_equal(tail, full[25:])
+    with pytest.raises(ValueError):
+        predict_framewise(apply_fn, variables, inputs, batch_size=25,
+                          start_frame=60)
 
 
 def test_predict_framewise_return_aux_polyphony():
