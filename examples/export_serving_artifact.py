@@ -64,12 +64,22 @@ def cmd_export(args):
         variables = model.init({"params": jax.random.PRNGKey(0)},
                                jnp.zeros((1, 6, 75, 216)), train=False)
 
+    attn_mode = str(getattr(model, "attn_mode", ""))
     if args.group:
         if args.batch_size % args.group:
             sys.exit(f"--batch-size {args.batch_size} must be a multiple "
                      f"of --group {args.group}")
         batch_mode = f"grouped:{args.group}"
-    elif "cross_batch" in str(getattr(model, "attn_mode", "")):
+    elif attn_mode.startswith("cross_batch:"):
+        # model config already grouped: the header must say so, or
+        # predict_framewise_exported would treat exact full-group tails
+        # as composition-affected
+        g = int(attn_mode.split(":", 1)[1])
+        if args.batch_size % g:
+            sys.exit(f"--batch-size {args.batch_size} must be a multiple "
+                     f"of the model's attention group {g}")
+        batch_mode = f"grouped:{g}"
+    elif attn_mode == "cross_batch":
         batch_mode = "cross_batch"
     else:
         batch_mode = "independent"
@@ -146,12 +156,16 @@ def cmd_export(args):
             from multipitch_architectures_tpu.eval import auto_hybrid_int8
 
             print("gate failed; searching hybrid int8/f32 policy ...")
+            # reuse the scales already calibrated above so the search
+            # honors --calibrate-margin/--calibrate-percentile (and
+            # skips a redundant calibration pass)
             policy, report = auto_hybrid_int8(model, variables, cal,
                                               gate=args.drift_gate,
                                               per_channel=args
                                               .calibrate_per_channel,
                                               verbose=True,
-                                              verify_windows=verify)
+                                              verify_windows=verify,
+                                              activation_scales=scales)
             scales, exclude = policy["activation_scales"], policy["exclude"]
             print(f"hybrid policy: {len(exclude)} conv(s) kept f32 "
                   f"({', '.join(exclude)}); worst drift "

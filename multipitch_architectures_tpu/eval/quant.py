@@ -90,15 +90,22 @@ def quantized_conv_static(x, kernel, bias, strides, padding, x_scale):
     perf/int8_windowed_experiment.py).
 
     ``x_scale`` is a scalar (per-tensor) or a (Cin,) vector
-    (per-input-channel). Per-channel costs ZERO runtime: each channel
-    scale folds into the kernel's Cin axis BEFORE per-output-channel
-    weight quantization, so the conv itself and the (Cout,) dequantize
-    are unchanged — only trace-time constants differ
-    (sum_cin (x/s_c)·(w·s_c) == sum_cin x·w exactly). It quantizes
-    activations finer but the folded kernel's wider per-output-channel
-    range coarsens WEIGHT quantization, so which policy drifts less is
-    an empirical per-checkpoint question — measured on trained
-    checkpoints by perf/gated_mode_experiment.py."""
+    (per-input-channel). Per-channel adds no conv-shape cost: each
+    channel scale folds into the kernel's Cin axis BEFORE
+    per-output-channel weight quantization, so the conv itself and the
+    (Cout,) dequantize are unchanged
+    (sum_cin (x/s_c)·(w·s_c) == sum_cin x·w exactly). The fold and the
+    weight requantization are elementwise over the KERNEL: constant-
+    folded by XLA when both kernel and scales are trace-time constants
+    (baked exports), executed per dispatch when either is a traced
+    argument — which is already true of the kernel itself on every
+    predict path (params are jit arguments), so the measured static-int8
+    gains include this requant cost; weights are small next to a window
+    batch's activations. Per-channel quantizes activations finer but the
+    folded kernel's wider per-output-channel range coarsens WEIGHT
+    quantization, so which policy drifts less is an empirical
+    per-checkpoint question — measured on trained checkpoints by
+    perf/gated_mode_experiment.py."""
     xs = jnp.asarray(x_scale, jnp.float32)
     if xs.ndim == 1:                         # per-input-channel: fold
         kernel = kernel * xs[None, None, :, None]
@@ -454,7 +461,14 @@ def auto_hybrid_int8(model, variables, cal_windows,
         f32_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
         pred_f = [np.asarray(_main(f32_fn(variables, jnp.asarray(x))))
                   for x in verify]
-        all_paths = frozenset(scales)
+        # the "quantize ONLY layer k" probes must exclude every
+        # interceptor-ELIGIBLE conv, not just the keys of `scales`: a
+        # caller-supplied scales dict calibrated at a different
+        # min_kernel_elems would otherwise leave uncovered convs running
+        # dynamic int8 inside the damage measurement
+        probe = _probe_for(model, min_kernel_elems, None, False, False)
+        probe.jit(variables, jnp.asarray(verify[0]))
+        all_paths = frozenset(probe.keys) | frozenset(scales)
         damage = {}
         for k in scales:        # quantize ONLY layer k: standalone damage
             only_k = quantized_apply_fn(model, min_kernel_elems,
@@ -539,13 +553,13 @@ def predict_framewise_int8(model, variables, inputs, context: int = 75,
             calibration span, int8 after it).
     """
     from ..data.windows import gather_windows
-    from .inference import predict_framewise
+    from .inference import _pad_inputs, predict_framewise
 
     x = jnp.asarray(inputs, jnp.float32)
     if compression is not None:
         x = jnp.log1p(compression * x)
     half = context // 2
-    xp = jnp.pad(x, ((0, 0), (half, half + 1), (0, 0)))
+    xp = _pad_inputs(x, context)      # the protocol's (half, half+1) pad
     t = x.shape[1]
 
     # Calibration batches = the first protocol batches. Full batches

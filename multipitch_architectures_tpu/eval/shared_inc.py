@@ -88,10 +88,15 @@ class SharedIncForward:
 
     def __init__(self, model, context: int = 75, min_kernel_elems=4096,
                  activation_scales=None, int8: bool = False):
-        if getattr(model, "alt_order", False) or getattr(model, "residual",
-                                                         False):
+        # only options that change INC itself are disqualifying:
+        # alt_order reorders inc's conv/BN/activation (unets._encode
+        # passes it through), inc_residual is rejected in _inc_arith.
+        # `residual` shortcuts apply to down/up blocks only — the
+        # reference never passes it to inc (unets.py:97-101) — and those
+        # blocks run unchanged through model.apply here.
+        if getattr(model, "alt_order", False):
             raise ValueError("shared-inc supports the plain DoubleConv "
-                             "branch only (alt_order/residual unset)")
+                             "inc branch only (alt_order changes inc)")
         self.model = model
         self.context = context
         self._int8 = int8 or activation_scales is not None
@@ -197,6 +202,33 @@ class SharedIncForward:
                              jnp.asarray(centers), with_aux=with_aux)
 
 
+_FWD_CACHE = {}
+
+
+def _forward_for(model, context, min_kernel_elems, activation_scales,
+                 int8):
+    """SharedIncForward instances cached per (model, context, policy) —
+    a fresh instance per serving call would carry fresh jax.jit wrappers
+    and recompile the full forward for every recording (minutes through
+    a relayed TPU backend). Scale values are frozen into the key (they
+    are baked into the compiled programs as constants)."""
+    import numpy as np
+
+    scales_key = None
+    if activation_scales is not None:
+        scales_key = tuple(sorted(
+            (k, np.asarray(v, np.float32).tobytes())
+            for k, v in activation_scales.items()))
+    key = (model, context, min_kernel_elems, scales_key, bool(int8))
+    fwd = _FWD_CACHE.get(key)
+    if fwd is None:
+        while len(_FWD_CACHE) >= 16:              # bound compiled programs
+            _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
+        fwd = _FWD_CACHE[key] = SharedIncForward(
+            model, context, min_kernel_elems, activation_scales, int8=int8)
+    return fwd
+
+
 def predict_framewise_shared(model, variables, inputs, context=75,
                              batch_size=50, compression=10.0, group=None,
                              min_kernel_elems=4096, activation_scales=None,
@@ -205,13 +237,21 @@ def predict_framewise_shared(model, variables, inputs, context=75,
     protocol batching (full batches, grouped-tail drain, natural-size
     remainder — see inference.py), ~6% less compute per window. Output is
     float-reassociation-close to ``predict_framewise`` (tested ≤1e-5 on
-    CPU); pass the int8 kwargs for the quantized serving mode."""
+    CPU); pass the int8 kwargs for the quantized serving mode.
+
+    The SharedIncForward (and its jitted programs) is cached per
+    (model, context, quantization policy), so repeated serving calls do
+    not recompile. NB the int8 scales are baked into the cached programs
+    as constants here — per-RECORDING scales would recompile per
+    recording; use recording-independent (e.g. training-set) scales with
+    shared-inc, or the plain ``predict_framewise_int8`` path whose
+    scales are traced arguments."""
     import numpy as np
 
     from .inference import _next_batch_size, _pad_inputs
 
-    fwd = SharedIncForward(model, context, min_kernel_elems,
-                           activation_scales, int8=int8)
+    fwd = _forward_for(model, context, min_kernel_elems,
+                       activation_scales, int8)
     x = jnp.asarray(inputs, jnp.float32)
     if compression is not None:
         x = jnp.log1p(compression * x)

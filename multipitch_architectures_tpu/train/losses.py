@@ -32,18 +32,32 @@ def polyphony_targets(y_true):
     return jnp.sum(y_true, axis=-1).astype(jnp.int32)
 
 
-def cross_entropy_logits(logits, labels, weights=None):
+def cross_entropy_logits(logits, labels, weights=None, strict=False):
     """torch.nn.CrossEntropyLoss(reduction='mean') on NCHW-style logits
     (B, C, *spatial) with integer labels (B, *spatial).
 
     Out-of-range labels (e.g. a frame whose polyphony exceeds the head's
-    ``num_polyphony_steps`` classes) are clipped to the top class: torch
-    hard-errors on such targets (device-side assert), and the default
-    JAX gather would silently fill NaN into the loss value while
-    dropping those frames' gradients — clipping is the explicit, sane
-    middle ground and is documented here because it IS a behavior
-    difference on invalid-for-torch data."""
+    ``num_polyphony_steps`` classes) are a behavior difference vs torch,
+    which hard-errors on them (device-side assert) — flagged per repo
+    convention:
+
+    - ``strict=False`` (default): clip to the top class — explicit,
+      finite, trains through rare over-polyphonic frames;
+    - ``strict=True``: poison the loss with NaN for any out-of-range
+      label (the jit-compatible analogue of torch's assert) — the NaN
+      surfaces through the trainer's NaN-stop failure detection, so a
+      mis-sized head or mispaired loss fails fast instead of silently
+      training on clipped targets.
+    """
     logp = jax.nn.log_softmax(logits, axis=1)
+    if strict:
+        labels_c = jnp.clip(labels, 0, logits.shape[1] - 1)
+        picked = jnp.take_along_axis(logp, labels_c[:, None], axis=1)[:, 0]
+        picked = jnp.where(labels == labels_c, picked, jnp.nan)
+        if weights is None:
+            return -jnp.mean(picked)
+        w = weights.reshape((-1,) + (1,) * (picked.ndim - 1))
+        return -jnp.sum(picked * w) / (jnp.sum(w) * picked[0].size)
     labels = jnp.clip(labels, 0, logits.shape[1] - 1)
     picked = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
     if weights is None:

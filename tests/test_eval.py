@@ -686,6 +686,40 @@ def test_shared_inc_matches_windowed_protocol():
                                      batch_size=50, group=25)
     np.testing.assert_allclose(got_g, want_g, atol=2e-5)
 
+    # the forward (and its compiled programs) is cached across serving
+    # calls — a fresh instance per recording would recompile everything
+    from multipitch_architectures_tpu.eval.shared_inc import _forward_for
+    assert _forward_for(model, 75, 4096, None, False) \
+        is _forward_for(SimpleUNetDoubleSelfAttn(**kw), 75, 4096, None,
+                        False)
+
+
+def test_shared_inc_supports_residual_down_blocks():
+    """`residual` shortcuts live in the down/up blocks, never in inc
+    (unets._encode passes inc_residual separately), so shared-inc must
+    accept residual models and stay protocol-close; alt_order DOES
+    change inc and stays rejected."""
+    from multipitch_architectures_tpu.eval import predict_framewise_shared
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    kw = dict(n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+              embed_dim=32, num_heads=8, mlp_dim=64, residual=True)
+    model = SimpleUNetDoubleSelfAttn(**kw)
+    variables = model.init({"params": jax.random.PRNGKey(2)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+    inputs = np.random.RandomState(8).rand(6, 60, 216).astype(np.float32)
+    want = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
+        batch_size=25)
+    got = predict_framewise_shared(model, variables, inputs, batch_size=25)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    alt = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64, alt_order=True)
+    with pytest.raises(ValueError, match="alt_order"):
+        predict_framewise_shared(alt, variables, inputs, batch_size=25)
+
 
 def test_shared_inc_polyphony_aux_and_int8():
     """shared-inc composes with the PUnet aux head and the int8 serving
@@ -722,8 +756,12 @@ def test_shared_inc_polyphony_aux_and_int8():
 
 
 def test_shared_inc_rejects_unsupported_double_conv_branches():
-    """alt_order / residual / inc_residual change the ``inc`` arithmetic
-    the shared path reimplements — they must refuse, not silently drift."""
+    """Options that change the ``inc`` arithmetic the shared path
+    reimplements must refuse, not silently drift: alt_order reorders
+    inc's conv/BN/activation. ``residual`` shortcuts apply to down/up
+    blocks only (unets._encode never passes it to inc) and are ACCEPTED
+    — protocol-parity covered by
+    test_shared_inc_supports_residual_down_blocks."""
     import pytest as _pytest
 
     from multipitch_architectures_tpu.eval import SharedIncForward
@@ -731,7 +769,6 @@ def test_shared_inc_rejects_unsupported_double_conv_branches():
 
     kw = dict(n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
               embed_dim=32, num_heads=8, mlp_dim=64)
-    with _pytest.raises(ValueError, match="alt_order/residual"):
+    with _pytest.raises(ValueError, match="alt_order"):
         SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, alt_order=True))
-    with _pytest.raises(ValueError, match="alt_order/residual"):
-        SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, residual=True))
+    SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, residual=True))

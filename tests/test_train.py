@@ -255,6 +255,22 @@ def test_multitask_loss_clips_out_of_range_polyphony():
         (jnp.asarray(y_pred), n), jnp.asarray(y_true)))(jnp.asarray(n_pred))
     assert np.isfinite(np.asarray(g)).all()
 
+    # strict mode = the jit-compatible analogue of torch's device assert:
+    # out-of-range labels poison the loss with NaN (surfaced by the
+    # trainer's NaN-stop), in-range labels match the default mode
+    from multipitch_architectures_tpu.train.losses import \
+        cross_entropy_logits
+
+    labels_bad = jnp.asarray(np.array([0, 5, 24, 3]))[:, None, None]
+    labels_ok = jnp.asarray(np.array([0, 5, 23, 3]))[:, None, None]
+    ce_bad = cross_entropy_logits(jnp.asarray(n_pred), labels_bad,
+                                  strict=True)
+    ce_ok = cross_entropy_logits(jnp.asarray(n_pred), labels_ok,
+                                 strict=True)
+    assert np.isnan(float(ce_bad))
+    assert float(ce_ok) == pytest.approx(float(cross_entropy_logits(
+        jnp.asarray(n_pred), labels_ok)), rel=1e-6)
+
 
 def _toy_pipelines(seed=0, t=900):
     rng = np.random.RandomState(seed)
