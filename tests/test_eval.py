@@ -609,6 +609,83 @@ def test_quantized_serving_fn_matches_baked_scales():
     assert np.abs(distorted - served).max() > 1e-4
 
 
+def test_in_graph_calibrated_int8_pipeline():
+    """The bench's single-dispatch int8 serving executable (calibration
+    probe + traced scales + scanned int8 batches INSIDE one jit —
+    bench.py int8_serve) must run and agree with the library's
+    per-recording serve to cross-program bin-flip noise. Guards the
+    bench headline: this code path otherwise first executes on the real
+    chip at round end."""
+    import flax.linen as nn
+
+    from multipitch_architectures_tpu.data.windows import gather_windows
+    from multipitch_architectures_tpu.eval import (make_int8_interceptor,
+                                                   predict_framewise_int8)
+    from multipitch_architectures_tpu.eval.quant import _probe_for
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    group, batch = 10, 20
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64,
+        attn_mode=f"cross_batch:{group}")
+    rng = np.random.RandomState(12)
+    inputs = rng.rand(6, 75, 216).astype(np.float32)   # 75 frames
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+
+    half = 37
+    t = inputs.shape[1]
+    n_cal = 2 * group                                  # 2 cal groups = 20
+    cal_centers = jnp.asarray(half + np.arange(n_cal))
+    n_rest_full = ((t - n_cal) // batch) * batch       # 40
+    rest_mat = jnp.asarray(
+        (half + n_cal + np.arange(n_rest_full)).reshape(-1, batch))
+    rest_tails = []                      # full groups then natural size,
+    start = n_cal + n_rest_full          # like bench.py's tail chunks
+    while start < t:
+        n = min(group, t - start)
+        rest_tails.append(jnp.asarray(half + start + np.arange(n)))
+        start += n
+    probe = _probe_for(model, 4096, None, False, True)
+
+    @jax.jit
+    def int8_serve(variables, x):
+        xp = jnp.pad(jnp.log1p(10.0 * x), ((0, 0), (half, half + 1),
+                                           (0, 0)))
+        (y_cal, _), captured = probe.jit(
+            variables, gather_windows(xp, cal_centers, 75))
+        scales = {k: jnp.maximum(v, 1e-12) / 127.0
+                  for k, v in zip(list(probe.keys), captured)}
+        interceptor = make_int8_interceptor(4096, scales)
+
+        def apply_q(v, xw):
+            with nn.intercept_methods(interceptor):
+                return model.apply(v, xw, train=False)
+
+        def body(_, centers):
+            y = apply_q(variables, gather_windows(xp, centers, 75))
+            return None, y.reshape(y.shape[0], -1)
+
+        _, ys = jax.lax.scan(body, None, rest_mat)
+        parts = [y_cal, ys.reshape(-1, ys.shape[-1])]
+        for c in rest_tails:
+            y = apply_q(variables, gather_windows(xp, c, 75))
+            parts.append(y.reshape(y.shape[0], -1))
+        return jnp.concatenate(parts, axis=0)
+
+    got = np.asarray(int8_serve(variables, jnp.asarray(inputs)))
+    want = predict_framewise_int8(model, variables, inputs,
+                                  batch_size=group, cal_batches=2,
+                                  group=group)
+    assert got.shape == want.shape == (75, 72)
+    # cal span f32 in both; int8 span to cross-program bin-flip noise
+    np.testing.assert_allclose(got[:n_cal], want[:n_cal], atol=1e-6,
+                               rtol=0)
+    np.testing.assert_allclose(got[n_cal:], want[n_cal:], atol=5e-3,
+                               rtol=0)
+
+
 def test_predict_framewise_start_frame():
     """start_frame returns exactly the tail rows of the full protocol
     (composition preserved when start_frame is a batch multiple)."""
