@@ -52,7 +52,21 @@ HALF = 37
 
 
 def main():
+    import os
+
     import jax
+
+    # BENCH_SMOKE=1: full bench FLOW on CPU with a tiny model and 3 s of
+    # audio — exercises every mode (windowed/dense/shared-inc/int8/train
+    # step) so a bench.py regression is caught by the test suite instead
+    # of surfacing as a silent mode drop at the one consequential run on
+    # the real chip. Numbers are meaningless in smoke mode; guarded
+    # sections re-raise instead of being skipped.
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    global AUDIO_SECONDS, BATCH, GROUP
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+        AUDIO_SECONDS, BATCH, GROUP = 3.0, 20, 10
 
     # persistent compilation cache: repeat bench invocations skip the
     # (minutes-long, tunnel-bound) XLA compiles
@@ -70,15 +84,25 @@ def main():
                 for h in (1, 2, 3, 4, 5)).astype(np.float32)
     audio_dev = jnp.asarray(audio)
 
-    cfg = load_experiment(
-        "exp180e_musicnet_unet_insanelylarge_doubleselfattn")
-    model = cfg.build_model()
+    if smoke:
+        from multipitch_architectures_tpu.models import (
+            SimpleUNetDoubleSelfAttn)
+
+        model = SimpleUNetDoubleSelfAttn(
+            n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+            embed_dim=32, num_heads=8, mlp_dim=64,
+            pos_encoding="sinusoidal")
+    else:
+        cfg = load_experiment(
+            "exp180e_musicnet_unet_insanelylarge_doubleselfattn")
+        model = cfg.build_model()
     # protocol-exact windowed variant: convs fused over BATCH windows per
     # dispatch while attention stays block-diagonal in groups of 50 — the
     # reference test loader's exact batch composition (exp180e…py:62-65)
     import dataclasses
 
-    model_grouped = dataclasses.replace(model, attn_mode="cross_batch:50")
+    model_grouped = dataclasses.replace(model,
+                                        attn_mode=f"cross_batch:{GROUP}")
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 6, 75, 216), jnp.float32),
                            train=False)
@@ -174,8 +198,6 @@ def main():
         float(fn(*args))                       # host fetch = honest sync
         return time.perf_counter() - t0
 
-    import os
-
     bench_start = time.perf_counter()
     windowed_rt = timed_rt(windowed_full, variables, audio_dev)
 
@@ -184,10 +206,12 @@ def main():
     # primary line always prints (cached runs easily fit)
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     dense_rt = None
-    if time.perf_counter() - bench_start < budget_s * 0.5:
+    if smoke or time.perf_counter() - bench_start < budget_s * 0.5:
         try:
             dense_rt = timed_rt(dense_pipeline, variables, audio_dev)
         except Exception:
+            if smoke:
+                raise
             dense_rt = None
 
     out = {
@@ -204,7 +228,7 @@ def main():
     # the shared-inc f32 mode is float-reassociation-exact vs the
     # protocol (tests/test_eval.py::test_shared_inc_matches_windowed_
     # protocol), so it competes for the headline directly
-    if time.perf_counter() - bench_start < budget_s * 0.45:
+    if smoke or time.perf_counter() - bench_start < budget_s * 0.45:
         try:
             from multipitch_architectures_tpu.eval import SharedIncForward
 
@@ -212,12 +236,13 @@ def main():
             rt = timed_rt(make_windowed_shared(fwd_f32), variables,
                           audio_dev)
             out["windowed_sharedinc_rt"] = round(rt, 1)
-            if rt > out["value"]:
+            if rt > out["value"] and not smoke:
                 out["value"] = round(rt, 1)
                 out["vs_baseline"] = round(rt / TARGET_RT, 3)
                 out["headline_mode"] = "windowed_sharedinc"
         except Exception:
-            pass
+            if smoke:
+                raise
 
     # calibrated static-scale int8 serving mode: same windowed protocol
     # composition, conv arithmetic in W8A8 (eval/quant.py). Per-tensor
@@ -238,7 +263,7 @@ def main():
     # (1.2-1.8e-3; per-channel/margins don't fix it) and uses
     # eval.auto_hybrid_int8 — the export CLI enforces/repairs the gate
     # per checkpoint (int8_drift_report / --int8-hybrid).
-    if time.perf_counter() - bench_start < budget_s * 0.6:
+    if smoke or time.perf_counter() - bench_start < budget_s * 0.6:
         try:
             import flax.linen as nn
 
@@ -290,7 +315,7 @@ def main():
 
             int8_rt = timed_rt(int8_serve, variables, audio_dev)
             out["windowed_int8_rt"] = round(int8_rt, 1)
-            if int8_rt > out["value"]:
+            if int8_rt > out["value"] and not smoke:
                 out["value"] = round(int8_rt, 1)
                 out["vs_baseline"] = round(int8_rt / TARGET_RT, 3)
                 out["headline_mode"] = "windowed_int8_per_recording"
@@ -309,7 +334,8 @@ def main():
             # steady-state (calibration excluded, whole span int8): the
             # round-2/3 cross-round comparable; also feeds shared-inc.
             # Secondary records — only when the budget clearly allows.
-            if time.perf_counter() - bench_start > budget_s * 0.7:
+            if (not smoke
+                    and time.perf_counter() - bench_start > budget_s * 0.7):
                 raise TimeoutError("skip secondary int8 records")
             xp_cal = features(audio_dev)
             cal = [gather_windows(xp_cal, HALF + GROUP * b
@@ -328,7 +354,8 @@ def main():
                 timed_rt(make_windowed_shared(fwd_q), variables,
                          audio_dev), 1)
         except Exception:
-            pass
+            if smoke:
+                raise
     out["windowed_f32_rt"] = round(windowed_rt, 1)
 
     # speed-of-light accounting for the record (ROADMAP r2 analysis:
@@ -350,25 +377,31 @@ def main():
     # (exp180d) train step, batch 25, incl. loss/grad/optimizer — the
     # reference trains this at ~12 min/MusicNet-epoch on its cluster GPU
     # (SURVEY §6); 25 windows/step ⇒ epoch minutes = steps × ms / 60e3.
-    if time.perf_counter() - bench_start < budget_s * 0.7:
+    if smoke or time.perf_counter() - bench_start < budget_s * 0.7:
         try:
-            out["train_step_ms_saunet_l_bs25"] = _train_step_ms(jax)
+            out["train_step_ms_saunet_l_bs25"] = _train_step_ms(
+                jax, model=model if smoke else None)
         except Exception:
-            pass
+            if smoke:
+                raise
 
     # multi-chip DP scaling evidence: only when real chips allow it
     # (single-chip anchor: SAUnet:L train step bs=25 = 114.9 ms, ROADMAP).
+    # Smoke mode exercises both paths on the inherited virtual CPU mesh.
     if len(jax.devices()) > 1 and \
-            time.perf_counter() - bench_start < budget_s * 0.75:
+            (smoke or time.perf_counter() - bench_start < budget_s * 0.75):
         try:
-            out["dp_train_step_ms"] = _dp_step_scaling(jax)
+            out["dp_train_step_ms"] = _dp_step_scaling(
+                jax, model=model if smoke else None)
         except Exception:
-            pass
+            if smoke:
+                raise
         try:
             out["sharded_windowed_rt"] = _sharded_inference_scaling(
                 jax, model_grouped, variables, audio_dev, features)
         except Exception:
-            pass
+            if smoke:
+                raise
     print(json.dumps(out))
 
 
@@ -399,18 +432,20 @@ def _sharded_inference_scaling(jax, model_grouped, variables, audio_dev,
     return result
 
 
-def _train_step_ms(jax):
+def _train_step_ms(jax, model=None):
     """Single-chip SAUnet:L (exp180d config) train-step time, batch 25:
     jitted loss+grad+optimizer update, median-of-5 after compile, honest
-    host-fetch sync."""
+    host-fetch sync. ``model`` overrides the flagship config (smoke
+    mode's tiny model)."""
     import jax.numpy as jnp
 
     from multipitch_architectures_tpu.experiments import load_experiment
     from multipitch_architectures_tpu.train import Trainer, TrainConfig
 
-    cfg = load_experiment(
-        "exp180d_musicnet_unet_extremelylarge_doubleselfattn")
-    model = cfg.build_model()
+    if model is None:
+        cfg = load_experiment(
+            "exp180d_musicnet_unet_extremelylarge_doubleselfattn")
+        model = cfg.build_model()
     tr = Trainer(model, TrainConfig(max_epochs=1, batch_size=25,
                                     loss="bce"))
     state = tr.init(jnp.zeros((1, 6, 75, 216)))
@@ -429,19 +464,21 @@ def _train_step_ms(jax):
     return round(sorted(times)[2] * 1e3, 1)
 
 
-def _dp_step_scaling(jax):
+def _dp_step_scaling(jax, model=None):
     """Train-step time per mesh size {1, N} on real chips: SAUnet:L
     (exp180d config), global batch 25 per chip — reports ms/step so the
     scaling efficiency is step_ms[1]/step_ms[N] (ideal: ~1.0 at constant
-    per-chip batch)."""
+    per-chip batch). ``model`` overrides the flagship config (smoke)."""
     import jax.numpy as jnp
 
     from multipitch_architectures_tpu.experiments import load_experiment
     from multipitch_architectures_tpu.parallel import make_mesh
     from multipitch_architectures_tpu.train import Trainer, TrainConfig
 
-    cfg = load_experiment("exp180d_musicnet_unet_extremelylarge_doubleselfattn")
-    model = cfg.build_model()
+    if model is None:
+        cfg = load_experiment(
+            "exp180d_musicnet_unet_extremelylarge_doubleselfattn")
+        model = cfg.build_model()
     result = {}
     n = len(jax.devices())
     for n_dev in (1, n):
