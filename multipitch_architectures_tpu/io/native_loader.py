@@ -111,20 +111,44 @@ class NativeWindowLoader:
         chunks = [order[i:i + batch_size]
                   for i in range(0, len(order) - batch_size + 1, batch_size)]
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def put(item):
+            """Bounded put that aborts when the consumer is gone — a
+            plain q.put would block forever if the generator is
+            abandoned mid-epoch, leaking the thread and pinning this
+            loader (and its mmap) alive."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            for chunk in chunks:
-                q.put(self.fill(chunk))
-            q.put(None)
+            try:
+                for chunk in chunks:
+                    if stop.is_set() or not put(self.fill(chunk)):
+                        return
+                put(None)
+            except BaseException as e:       # surface in the consumer
+                put(e)                       # (a dead producer would
+                                             # leave q.get blocked)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
 
     def __del__(self):
         try:
