@@ -25,6 +25,24 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles many hundreds of XLA:CPU programs in one
+    process; past ~190 tests the accumulated JIT state segfaulted the
+    compiler inside test_unets' parity sweep (reproducibly at the same
+    spot, while the same file passes standalone). Per-module cache
+    clearing keeps the in-process program count bounded; cross-module
+    cache reuse is minimal, so the runtime cost is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
 REFERENCE_ROOT = "/root/reference"
 
 
