@@ -470,9 +470,15 @@ def auto_hybrid_int8(model, variables, cal_windows,
         probe.jit(variables, jnp.asarray(verify[0]))
         all_paths = frozenset(probe.keys) | frozenset(scales)
         damage = {}
-        for k in scales:        # quantize ONLY layer k: standalone damage
-            only_k = quantized_apply_fn(model, min_kernel_elems,
-                                        {k: scales[k]}, all_paths - {k})
+        # rank EVERY eligible conv, not just the keys of `scales`: an
+        # eligible path with no caller-supplied scale runs DYNAMIC int8
+        # in the served forward, so it drifts too and must be demotable
+        # (otherwise the full-demotion => exact-f32 termination guarantee
+        # below fails for caller-supplied scales dicts)
+        for k in all_paths:     # quantize ONLY layer k: standalone damage
+            only_k = quantized_apply_fn(
+                model, min_kernel_elems,
+                {k: scales[k]} if k in scales else {}, all_paths - {k})
             only_k = jax.jit(only_k)
             damage[k] = max(
                 float(np.abs(np.asarray(_main(only_k(variables,
@@ -483,7 +489,7 @@ def auto_hybrid_int8(model, variables, cal_windows,
                 print(f"  standalone damage {k:40s} {damage[k]:.5f}")
         for k in sorted(damage, key=damage.get, reverse=True):
             demoted.append(k)
-            scales.pop(k)
+            scales.pop(k, None)   # absent keys were running dynamic int8
             report = int8_drift_report(
                 model, variables, verify, scales, min_kernel_elems,
                 threshold, min_pitch, gate, exclude=demoted)
@@ -599,12 +605,18 @@ def predict_framewise_int8(model, variables, inputs, context: int = 75,
             xp, jnp.asarray(np.minimum(half + s + np.arange(batch_size),
                                        half + t - 1)), context)
             for s in starts]
-        policy, _ = auto_hybrid_int8(model, variables, cal,
-                                     min_kernel_elems, gate,
-                                     per_channel=per_channel,
-                                     verify_windows=verify,
-                                     activation_scales=scales)
+        policy, report = auto_hybrid_int8(model, variables, cal,
+                                          min_kernel_elems, gate,
+                                          per_channel=per_channel,
+                                          verify_windows=verify,
+                                          activation_scales=scales)
         scales, exclude = policy["activation_scales"], policy["exclude"]
+        if not report["passed"]:   # unreachable by construction (full
+            import warnings        # demotion = exact f32), but a gated
+            warnings.warn(         # serve must never fail SILENTLY
+                f"int8 gate NOT met after hybrid search (worst drift "
+                f"{report['worst']:.2e} > gate {gate:.0e}); serving the "
+                f"best policy found", RuntimeWarning)
 
     apply_fn = quantized_serving_fn(model, min_kernel_elems,
                                     tuple(exclude))

@@ -18,8 +18,9 @@ def load_audio(path, fs: int = 22050) -> np.ndarray:
     from scipy.io import wavfile
 
     rate, data = wavfile.read(path)
-    if data.ndim > 1:
-        data = data.mean(axis=1)
+    # Normalize by the STORED dtype before any arithmetic: a stereo mean
+    # would promote int16/uint8 samples to float64 and skip this branch,
+    # serving features at ~3e4x the trained input scale.
     if data.dtype.kind == "i":
         data = data / np.iinfo(data.dtype).max
     elif data.dtype.kind == "u":
@@ -29,6 +30,8 @@ def load_audio(path, fs: int = 22050) -> np.ndarray:
         data = (data.astype(np.float32) - half_range) / half_range
     elif data.dtype.kind != "f":
         raise ValueError(f"unsupported WAV sample format {data.dtype}")
+    if data.ndim > 1:
+        data = data.mean(axis=1)
     if rate != fs:
         from scipy.signal import resample_poly
 

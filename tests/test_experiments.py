@@ -368,6 +368,20 @@ def test_load_audio_normalizes_uint8_and_rejects_unknown(tmp_path):
     out16 = load_audio(str(tmp_path / "i16.wav"), fs)
     np.testing.assert_allclose(out16, sig, atol=1.0 / 32000)
 
+    # STEREO int WAVs (ADVICE r3): the downmix mean must not promote the
+    # samples to float64 before the dtype normalization — stereo int16
+    # would otherwise be served at +/-32767 scale, and stereo uint8 would
+    # keep its +128 DC offset. SWD/Exp3 raw audio is typically stereo.
+    st16 = np.stack([i16, i16], axis=1)
+    wavfile.write(tmp_path / "st16.wav", fs, st16)
+    out_st = load_audio(str(tmp_path / "st16.wav"), fs)
+    np.testing.assert_allclose(out_st, sig, atol=1.0 / 32000)
+    st8 = np.stack([u8, u8], axis=1)
+    wavfile.write(tmp_path / "st8.wav", fs, st8)
+    out_st8 = load_audio(str(tmp_path / "st8.wav"), fs)
+    assert abs(out_st8.mean()) < 2e-2
+    np.testing.assert_allclose(out_st8, sig, atol=1.0 / 127)
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", [
