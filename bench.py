@@ -33,9 +33,20 @@ syncs the whole dependency chain (block_until_ready can return at
 enqueue through the TPU tunnel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Resilience (VERDICT r3 task 1 — a tunnel outage voided the round-3
+record): backend init is probed in a bounded subprocess with retries
+BEFORE any in-process jax work (an in-process ``jax.devices()`` against
+a dead axon tunnel blocks >15 min in retry sleeps); on unrecoverable
+failure ONE structured-error JSON line is still printed (``"error":
+"tpu_unavailable"``) so the driver's record is never ``parsed: null``.
+Secondary measurement sections record their exceptions in
+``section_errors`` instead of silently dropping fields.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -51,11 +62,77 @@ TARGET_RT = 50.0
 HALF = 37
 
 
+def _probe_backend():
+    """Bounded-subprocess backend probe with retry.
+
+    Returns (ok, detail): ok=True once a child process can enumerate
+    devices and run one tiny computation; detail is the per-attempt
+    error log otherwise. Env hooks (used by tests/test_bench_errors.py):
+    BENCH_PROBE_ATTEMPTS / BENCH_PROBE_TIMEOUT_S override the bounds;
+    BENCH_FORCE_BACKEND_FAIL=1 makes every attempt fail."""
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+    code = ("import jax; d = jax.devices(); "
+            "import jax.numpy as jnp; "
+            "print('OK', len(d), d[0].platform, "
+            "float(jnp.ones((8, 8)).sum()))")
+    if os.environ.get("BENCH_FORCE_BACKEND_FAIL") == "1":
+        code = "import sys; sys.exit(7)"
+    errs = []
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s,
+                               text=True)
+            if r.returncode == 0 and r.stdout.strip().startswith("OK"):
+                return True, r.stdout.strip().splitlines()[-1]
+            errs.append(f"attempt {i + 1}: rc={r.returncode} "
+                        + (r.stderr or "").strip()[-300:])
+        except subprocess.TimeoutExpired:
+            errs.append(f"attempt {i + 1}: no backend within {timeout_s:.0f}s"
+                        " (tunnel init hang)")
+    return False, errs
+
+
+def _make_guard(smoke, section_errors):
+    """Secondary-section error recording: a real-run regression in a
+    non-headline mode must surface as a ``section_errors`` entry in the
+    record, never as a silently missing field. Smoke mode re-raises
+    (the CPU smoke test must fail loudly); a BENCH_FORCE_SECTION_ERROR
+    hook lets tests force the recording path in either mode."""
+
+    def guard(name, fn, *args, **kwargs):
+        if os.environ.get("BENCH_FORCE_SECTION_ERROR") == name:
+            section_errors[name] = "forced error (test hook)"
+            return None
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:
+            if smoke:
+                raise
+            section_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+
+    return guard
+
+
+def _load_gate_provenance():
+    """Structured int8-gate evidence stamped from the measurement log
+    (perf/int8_gate_measured.json, regenerated by
+    perf/gated_mode_experiment.py) — data, not prose, so a policy or
+    checkpoint change can't silently rot the recorded claim."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "perf", "int8_gate_measured.json")
+    try:
+        with open(path) as f:
+            g = json.load(f)
+        g.pop("comment", None)
+        return g
+    except Exception as e:          # missing/corrupt file is itself a record
+        return {"error": f"gate provenance unavailable: {e!r}"}
+
+
 def main():
-    import os
-
-    import jax
-
     # BENCH_SMOKE=1: full bench FLOW on CPU with a tiny model and 3 s of
     # audio — exercises every mode (windowed/dense/shared-inc/int8/train
     # step) so a bench.py regression is caught by the test suite instead
@@ -63,10 +140,38 @@ def main():
     # the real chip. Numbers are meaningless in smoke mode; guarded
     # sections re-raise instead of being skipped.
     smoke = os.environ.get("BENCH_SMOKE") == "1"
+
+    # probe the backend in a bounded subprocess BEFORE touching jax in
+    # this process: if the tunnel is down, emit a structured-error record
+    # instead of hanging or dying with rc!=0 (round-3's record was voided
+    # exactly this way). Smoke mode pins CPU and needs no probe.
+    if not smoke:
+        ok, detail = _probe_backend()
+        if not ok:
+            print(json.dumps({
+                "metric": "hcqt_saunet_xl_windowed_protocol_realtime_factor",
+                "value": 0.0,
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": 0.0,
+                "error": "tpu_unavailable",
+                "error_detail": detail,
+                "last_known_good": {
+                    "windowed_f32_rt": 40.8, "windowed_int8_rt": 45.4,
+                    "vs_baseline": 0.908,
+                    "source": "round-3 in-round measurement on the real "
+                              "v5e chip (ROADMAP.md, perf/results_r3_*)"},
+            }))
+            return
+
+    import jax
+
     global AUDIO_SECONDS, BATCH, GROUP
     if smoke:
         jax.config.update("jax_platforms", "cpu")
         AUDIO_SECONDS, BATCH, GROUP = 3.0, 20, 10
+
+    section_errors = {}
+    guard = _make_guard(smoke, section_errors)
 
     # persistent compilation cache: repeat bench invocations skip the
     # (minutes-long, tunnel-bound) XLA compiles
@@ -207,12 +312,8 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     dense_rt = None
     if smoke or time.perf_counter() - bench_start < budget_s * 0.5:
-        try:
-            dense_rt = timed_rt(dense_pipeline, variables, audio_dev)
-        except Exception:
-            if smoke:
-                raise
-            dense_rt = None
+        dense_rt = guard("dense", timed_rt, dense_pipeline, variables,
+                         audio_dev)
 
     out = {
         "metric": "hcqt_saunet_xl_windowed_protocol_realtime_factor",
@@ -229,7 +330,7 @@ def main():
     # protocol (tests/test_eval.py::test_shared_inc_matches_windowed_
     # protocol), so it competes for the headline directly
     if smoke or time.perf_counter() - bench_start < budget_s * 0.45:
-        try:
+        def _sharedinc_section():
             from multipitch_architectures_tpu.eval import SharedIncForward
 
             fwd_f32 = SharedIncForward(model_grouped)
@@ -240,9 +341,8 @@ def main():
                 out["value"] = round(rt, 1)
                 out["vs_baseline"] = round(rt / TARGET_RT, 3)
                 out["headline_mode"] = "windowed_sharedinc"
-        except Exception:
-            if smoke:
-                raise
+
+        guard("sharedinc", _sharedinc_section)
 
     # calibrated static-scale int8 serving mode: same windowed protocol
     # composition, conv arithmetic in W8A8 (eval/quant.py). Per-tensor
@@ -264,12 +364,11 @@ def main():
     # eval.auto_hybrid_int8 — the export CLI enforces/repairs the gate
     # per checkpoint (int8_drift_report / --int8-hybrid).
     if smoke or time.perf_counter() - bench_start < budget_s * 0.6:
-        try:
+        def _int8_primary():
             import flax.linen as nn
 
             from multipitch_architectures_tpu.eval import (
-                SharedIncForward, calibrate_activation_scales,
-                make_int8_interceptor, quantized_apply_fn)
+                make_int8_interceptor)
             from multipitch_architectures_tpu.eval.quant import _probe_for
 
             N_CAL = 4                       # serving-call default policy
@@ -324,19 +423,19 @@ def main():
                     "executable; its f32 outputs serve the calibration "
                     "span (reuse_cal_predictions), int8 serves the rest "
                     "— same audio span as every other mode")
-                out["int8_gate"] = ("worst-of-25-measures drift 6.5e-4 "
-                                    "<= 1e-3 on the trained headline-"
-                                    "family (SAUnet) checkpoint (perf/"
-                                    "gated_mode_experiment.py); enforced "
-                                    "and auto-repaired per checkpoint at "
-                                    "export (auto_hybrid_int8)")
+                out["int8_gate_measured"] = _load_gate_provenance()
 
-            # steady-state (calibration excluded, whole span int8): the
-            # round-2/3 cross-round comparable; also feeds shared-inc.
-            # Secondary records — only when the budget clearly allows.
-            if (not smoke
-                    and time.perf_counter() - bench_start > budget_s * 0.7):
-                raise TimeoutError("skip secondary int8 records")
+        guard("int8", _int8_primary)
+
+        # steady-state (calibration excluded, whole span int8): the
+        # round-2/3 cross-round comparable; also feeds shared-inc.
+        # Secondary records — only when the budget clearly allows.
+        def _int8_secondary():
+            from multipitch_architectures_tpu.eval import (
+                SharedIncForward, calibrate_activation_scales,
+                quantized_apply_fn)
+
+            N_CAL = 4
             xp_cal = features(audio_dev)
             cal = [gather_windows(xp_cal, HALF + GROUP * b
                                   + np.arange(GROUP), 75)
@@ -353,9 +452,9 @@ def main():
             out["windowed_sharedinc_int8_rt"] = round(
                 timed_rt(make_windowed_shared(fwd_q), variables,
                          audio_dev), 1)
-        except Exception:
-            if smoke:
-                raise
+
+        if smoke or time.perf_counter() - bench_start < budget_s * 0.7:
+            guard("int8_secondary", _int8_secondary)
     out["windowed_f32_rt"] = round(windowed_rt, 1)
 
     # speed-of-light accounting for the record (ROADMAP r2 analysis:
@@ -378,30 +477,47 @@ def main():
     # reference trains this at ~12 min/MusicNet-epoch on its cluster GPU
     # (SURVEY §6); 25 windows/step ⇒ epoch minutes = steps × ms / 60e3.
     if smoke or time.perf_counter() - bench_start < budget_s * 0.7:
-        try:
+        def _train_section():
             out["train_step_ms_saunet_l_bs25"] = _train_step_ms(
                 jax, model=model if smoke else None)
-        except Exception:
-            if smoke:
-                raise
+
+        guard("train_step", _train_section)
 
     # multi-chip DP scaling evidence: only when real chips allow it
     # (single-chip anchor: SAUnet:L train step bs=25 = 114.9 ms, ROADMAP).
     # Smoke mode exercises both paths on the inherited virtual CPU mesh.
     if len(jax.devices()) > 1 and \
             (smoke or time.perf_counter() - bench_start < budget_s * 0.75):
-        try:
+        def _dp_section():
             out["dp_train_step_ms"] = _dp_step_scaling(
                 jax, model=model if smoke else None)
-        except Exception:
-            if smoke:
-                raise
-        try:
+
+        def _sharded_section():
             out["sharded_windowed_rt"] = _sharded_inference_scaling(
                 jax, model_grouped, variables, audio_dev, features)
-        except Exception:
-            if smoke:
-                raise
+
+        guard("dp_scaling", _dp_section)
+        guard("sharded_inference", _sharded_section)
+
+    # the 50x north-star clause answered by the record itself (VERDICT r3
+    # task 2): every FLOP-cutting route has been measured dead (int8 MXU
+    # rate = bf16 rate on this chip, shared-inc slower, dense breaks the
+    # F-gate, bf16 slower — ROADMAP.md "hardware-bound" section), so a
+    # sub-50x headline is a measured chip bound, not unfinished work.
+    if not smoke and out["value"] < TARGET_RT:
+        out["hardware_bound"] = {
+            "needed_tflops_effective": round(
+                TARGET_RT * frames_per_sec_audio * gflop_per_window / 1e3,
+                1),
+            "chip_best_measured_matmul_tflops": 161.0,
+            "achieved_tflops_effective": out["protocol_tflops_effective"],
+            "evidence": "perf/pallas_int8_matmul_probe.py (int8 MXU rate "
+                        "= bf16 rate), eval/shared_inc.py measured 8% "
+                        "slower, dense mode breaks the F-gate for U-Nets "
+                        "(perf/dense_fparity_experiment.py); ROADMAP.md",
+        }
+    if section_errors:
+        out["section_errors"] = section_errors
     print(json.dumps(out))
 
 

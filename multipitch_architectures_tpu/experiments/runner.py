@@ -60,10 +60,13 @@ class AudioCorpus:
     """Train directly from audio — no precompute step (the reference
     requires notebook-01 precomputation to .npy first).
 
-    ``audio_dir/<name>.wav|.npy`` + ``csv_dir/<name>.csv`` (MusicNet
-    schema) → on-device efficient HCQT (streamed via ``chunk_frames``
-    for long recordings) + rasterized pitch roll, computed at load time
-    and LRU-cached in-process (an epoch re-reads every file).
+    ``audio_dir/<name>.wav|.npy`` + ``csv_dir/<name>.csv|.txt``
+    (MusicNet/SWD auto-detected; Bach10, PHENICX-Anechoic,
+    ChoralSingingDataset and custom formats via ``annotation_schema`` —
+    io.NOTE_EVENT_SCHEMAS) → on-device efficient HCQT (streamed via
+    ``chunk_frames`` for long recordings) + rasterized pitch roll,
+    computed at load time and LRU-cached in-process (an epoch re-reads
+    every file).
 
     RAM math: f32 HCQT is 6×216×4 B per frame at ~43 Hz ≈ 13.4 MB per
     audio minute, so a MusicNet-scale corpus (~34 h) is ~27 GB — the
@@ -81,6 +84,11 @@ class AudioCorpus:
     chunk_frames: Optional[int] = None
     cache: bool = True
     cache_bytes: Optional[int] = 8 << 30
+    #: None = auto-detect MusicNet / SWD csv; otherwise a
+    #: io.NOTE_EVENT_SCHEMAS preset name ('bach10', 'phenicx', 'csd', …)
+    #: or a custom io.NoteEventSchema column map. Annotation files may
+    #: then be .csv OR .txt (<name>.csv preferred when both exist).
+    annotation_schema: Optional[object] = None
 
     def __post_init__(self):
         from collections import OrderedDict
@@ -107,7 +115,12 @@ class AudioCorpus:
             bins_per_octave=self.bins_per_octave, num_octaves=6,
             chunk_frames=self.chunk_frames)
         name = os.path.splitext(fn)[0]
-        events = load_note_events(os.path.join(self.csv_dir, name + ".csv"))
+        annot = os.path.join(self.csv_dir, name + ".csv")
+        if not os.path.exists(annot):
+            txt = os.path.join(self.csv_dir, name + ".txt")
+            if os.path.exists(txt):
+                annot = txt
+        events = load_note_events(annot, schema=self.annotation_schema)
         roll = compute_annotation_array_nooverlap(
             events, f_hcqt.shape[1], fs_hcqt, annot_type="pitch")
         out = (np.transpose(f_hcqt, (2, 1, 0)).astype(np.float32),

@@ -849,3 +849,49 @@ def test_shared_inc_rejects_unsupported_double_conv_branches():
     with _pytest.raises(ValueError, match="alt_order"):
         SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, alt_order=True))
     SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, residual=True))
+
+
+def test_predict_framewise_matches_committed_golden():
+    """Whole-protocol output pin (VERDICT r3 task 9): committed
+    predict_framewise outputs for a fixed tiny checkpoint + fixed
+    synthetic HCQT (tests/goldens/predict_framewise_golden.npz,
+    generated by tools/gen_whole_protocol_golden.py). Guards the whole
+    windowed path — log compression, (37,38) pad, window gather, the
+    reference drain order (full batches, full-group tail, natural-size
+    remainder) and grouped block-diagonal attention — against silent
+    numeric drift from future jax/XLA upgrades. The stored variables are
+    EXACT (msgpack), so only protocol numerics are under test, not
+    initializer numerics. Reference protocol: exp180d…py:427-443."""
+    import dataclasses
+    import os
+
+    from flax import serialization
+
+    from multipitch_architectures_tpu.models import SimpleUNetDoubleSelfAttn
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "predict_framewise_golden.npz"))
+    model = SimpleUNetDoubleSelfAttn(
+        n_chan_layers=(8, 8, 4, 2), n_bins_out=72, scalefac=16,
+        embed_dim=32, num_heads=8, mlp_dim=64, pos_encoding="sinusoidal")
+    template = model.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 6, 75, 216), jnp.float32),
+                          train=False)
+    variables = serialization.from_bytes(
+        template, g["variables_msgpack"].tobytes())
+    variables = jax.tree.map(jnp.asarray, variables)
+    inputs = g["inputs"]
+    batch, group = int(g["batch"]), int(g["group"])
+
+    pred_plain = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
+        batch_size=group)
+    np.testing.assert_allclose(pred_plain, g["pred_plain"], atol=2e-5,
+                               rtol=1e-5)
+
+    grouped = dataclasses.replace(model, attn_mode=f"cross_batch:{group}")
+    pred_grouped = predict_framewise(
+        lambda v, xw: grouped.apply(v, xw, train=False), variables,
+        inputs, batch_size=batch, group=group)
+    np.testing.assert_allclose(pred_grouped, g["pred_grouped"], atol=2e-5,
+                               rtol=1e-5)
