@@ -97,3 +97,18 @@ def test_gate_provenance_is_structured_and_current():
     assert head["passed"] and head["worst_of_25_measures_drift"] <= 1e-3
     assert os.path.exists(os.path.join(
         REPO, head["source"].split(" ")[0]))
+
+
+def test_primary_failure_still_emits_json():
+    """Even a failure in the primary measurement path must leave ONE
+    parseable JSON line (rc=0) instead of a bare traceback."""
+    env = dict(os.environ, BENCH_FORCE_PRIMARY_FAIL="1",
+               BENCH_PROBE_ATTEMPTS="1", BENCH_PROBE_TIMEOUT_S="120")
+    env.pop("BENCH_SMOKE", None)
+    res = subprocess.run([sys.executable, BENCH], capture_output=True,
+                         text=True, timeout=300, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["error"] == "bench_failed"
+    assert any("forced primary failure" in line
+               for line in out["error_detail"])
