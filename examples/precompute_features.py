@@ -3,9 +3,9 @@
 equivalent of the reference's 01_precompute_features.ipynb.
 
 For each ``<name>.wav`` (or ``.npy`` raw audio) in --audio-dir with a
-matching ``<name>.csv`` note-event file (MusicNet schema:
-start_sample,end_sample,instrument,midi_note,... at 44.1 kHz sample
-indices — data/MusicNet/csv), writes:
+matching ``<name>.csv|.txt`` note-event file (MusicNet/SWD schemas
+auto-detected; Bach10 / PHENICX-Anechoic / ChoralSingingDataset and
+custom formats via ``--schema`` — io.NOTE_EVENT_SCHEMAS), writes:
 
     <out>/hcqt/<name>.npy   (216, T, 6)  float32   (reference layout)
     <out>/pitch/<name>.npy  (128, T)     float32
@@ -19,6 +19,10 @@ import sys
 
 import numpy as np
 
+# Persistent compile cache: the HCQT jit costs minutes cold through the
+# TPU tunnel, seconds warm (same cache bench.py and perf/ use).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/multipitch_tpu_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multipitch_architectures_tpu.dsp import (  # noqa: E402
@@ -38,6 +42,10 @@ def main():
     ap.add_argument("--chunk-frames", type=int, default=None,
                     help="bounded-memory streamed HCQT for long"
                          " recordings (dsp.cqt_streamed)")
+    ap.add_argument("--schema", default=None,
+                    help="annotation schema preset (io.NOTE_EVENT_SCHEMAS:"
+                         " musicnet, swd, bach10, phenicx, csd);"
+                         " default auto-detects MusicNet/SWD csv")
     args = ap.parse_args()
 
     os.makedirs(os.path.join(args.out_dir, "hcqt"), exist_ok=True)
@@ -51,7 +59,10 @@ def main():
             audio, fs=args.fs, fs_hcqt_target=args.fs_hcqt_target,
             bins_per_octave=args.bins_per_octave, num_octaves=6,
             chunk_frames=args.chunk_frames)
-        events = load_note_events(os.path.join(args.csv_dir, name + ".csv"))
+        annot = os.path.join(args.csv_dir, name + ".csv")
+        if not os.path.exists(annot):
+            annot = os.path.join(args.csv_dir, name + ".txt")
+        events = load_note_events(annot, schema=args.schema)
         roll = compute_annotation_array_nooverlap(
             events, f_hcqt.shape[1], fs_hcqt, annot_type="pitch")
         np.save(os.path.join(args.out_dir, "hcqt", name + ".npy"),

@@ -22,6 +22,10 @@ import sys
 
 import numpy as np
 
+# Persistent compile cache: prediction compiles in minutes cold through
+# the TPU tunnel, seconds warm (same cache bench.py uses).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/multipitch_tpu_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

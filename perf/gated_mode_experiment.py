@@ -104,7 +104,69 @@ FAMILIES = (
         num_polyphony_steps=24), "multitask"),
 )
 
+def fullsize_drift(frames=300):
+    """Headline-SCALE int8 gate evidence (VERDICT r3 task 4): the exact
+    exp180e SAUnet:XL config with RANDOM-PORTED weights (torch init →
+    models/port.py, like tests/test_e2e_parity.py's full-size gate), the
+    per-recording calibrated static-scale policy bench.py serves, drift
+    vs the f32 windowed protocol over ``frames`` frames. Small
+    synthetic-TRAINED checkpoints cover trained-distribution fitness
+    (FAMILIES above); this covers the real geometry — 600-token
+    positional encodings, full bottleneck width, fp32 accumulation depth
+    — that tiny configs cannot."""
+    import types
+
+    sys.path.insert(0, "/root/reference")
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    import torch
+    from libdl import nn_models
+
+    from multipitch_architectures_tpu.experiments import load_experiment
+    from multipitch_architectures_tpu.models import port
+
+    cfg = load_experiment(
+        "exp180e_musicnet_unet_insanelylarge_doubleselfattn")
+    model = cfg.build_model()
+    torch.manual_seed(0)
+    orig_zeros = torch.zeros
+    torch.zeros = lambda *a, **k: (k.pop("device", None),
+                                   orig_zeros(*a, **k))[1]
+    tm = nn_models.simple_u_net_doubleselfattn(**cfg.model_kwargs)
+    torch.zeros = orig_zeros
+    variables = jax.tree.map(jnp.asarray, port.port_unet_auto(
+        tm.state_dict()))
+
+    rng = np.random.RandomState(11)
+    inputs = rng.rand(6, frames, 216).astype(np.float32)
+    global targ
+    targ = (rng.rand(frames, 72) > 0.9).astype(np.float32)
+
+    print(f"\n######## SAUnet:XL exp180e random-ported, {frames} frames")
+    pred_f = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
+        batch_size=50)
+    mf = measures(pred_f)
+    print(f"f32 F={mf['f_measure']:.4f}")
+
+    xp = jnp.pad(jnp.log1p(10.0 * jnp.asarray(inputs, jnp.float32)),
+                 ((0, 0), (37, 38), (0, 0)))
+    rec_cal = [gather_windows(xp, 37 + 50 * b + np.arange(50), 75)
+               for b in range(4)]
+    scales_rec = calibrate_activation_scales(model, variables, rec_cal)
+    pred_q = predict_framewise(
+        quantized_apply_fn(model, activation_scales=scales_rec),
+        variables, inputs, batch_size=50)
+    w = worst_delta(mf, measures(pred_q))
+    pd = np.abs(pred_f - pred_q)
+    print(f"{'int8_recording':22s} worst-measure={w:.5f} "
+          f"pred max={pd.max():.5f} mean={pd.mean():.6f} "
+          f"{'PASS' if w <= 1e-3 else 'FAIL'}")
+
+
 only = sys.argv[1] if len(sys.argv) > 1 else None
+if only == "--fullsize":
+    fullsize_drift(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
+    sys.exit(0)
 
 for name, make_model, loss in FAMILIES:
     if only and name != only:

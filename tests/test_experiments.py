@@ -427,6 +427,49 @@ def test_audio_corpus_with_annotation_schema(tmp_path):
     np.testing.assert_array_equal(targets, targets2)
 
 
+def test_precompute_features_cli_schema(tmp_path, monkeypatch):
+    """The notebook-01 CLI end to end (examples/precompute_features.py,
+    reference 01_precompute_features.ipynb): a .wav + PHENICX-shape .txt
+    annotation through --schema must write the reference-layout
+    (216, T, 6) HCQT and a (128, T) pitch roll with the annotated note
+    active. Also covers the .txt fallback when no .csv exists."""
+    import importlib
+    import sys as _sys
+
+    from scipy.io import wavfile
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "examples"))
+    precompute = importlib.import_module("precompute_features")
+
+    fs = 22050
+    t = np.arange(int(fs * 1.2)) / fs
+    audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    (tmp_path / "audio").mkdir()
+    (tmp_path / "ann").mkdir()
+    wavfile.write(tmp_path / "audio" / "clip.wav", fs,
+                  (audio * 32767).astype(np.int16))
+    (tmp_path / "ann" / "clip.txt").write_text(
+        "onset,offset,note\n0.1,1.0,A4\n")
+
+    monkeypatch.setattr(_sys, "argv", [
+        "precompute_features.py",
+        "--audio-dir", str(tmp_path / "audio"),
+        "--csv-dir", str(tmp_path / "ann"),
+        "--out-dir", str(tmp_path / "out"),
+        "--schema", "phenicx"])
+    precompute.main()
+
+    f_hcqt = np.load(tmp_path / "out" / "hcqt" / "clip.npy")
+    roll = np.load(tmp_path / "out" / "pitch" / "clip.npy")
+    assert f_hcqt.ndim == 3 and f_hcqt.shape[0] == 216
+    assert f_hcqt.shape[2] == 6 and f_hcqt.dtype == np.float32
+    assert roll.shape == (128, f_hcqt.shape[1])
+    mid = roll[:, roll.shape[1] // 2]          # inside the 0.1-1.0 s note
+    assert mid[69] == 1.0 and mid.sum() == 1.0
+    assert roll[:, 0].sum() == 0.0             # before onset: silence
+
+
 def test_load_audio_normalizes_uint8_and_rejects_unknown(tmp_path):
     """8-bit WAVs are UNSIGNED (uint8, zero at 128): load_audio must
     remove the DC offset and scale to [-1, 1) — a raw passthrough would
