@@ -54,7 +54,15 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-AUDIO_SECONDS = 60.0
+# Span = the duration of MuN-10 test recording 2382_Beethoven_OP130
+# (117.701 s = max end_sample 5190622 / 44100 in the reference's shipped
+# annotation data/MusicNet/csv/2382_….csv — the one MuN-10 test file
+# whose ground truth is in the repo). The headline mode pays a
+# per-recording calibration probe, so the real-time factor depends on
+# recording length; anchoring the span to an actual protocol test
+# recording makes the amortization representative rather than arbitrary
+# (60 s, the old span, overstated the calibration cost ~2x).
+AUDIO_SECONDS = 117.701
 FS = 22050
 BATCH = 250          # 5 reference test batches (50) fused per dispatch
 GROUP = 50           # the reference test DataLoader batch size
@@ -71,7 +79,10 @@ def _probe_backend():
     BENCH_PROBE_ATTEMPTS / BENCH_PROBE_TIMEOUT_S override the bounds;
     BENCH_FORCE_BACKEND_FAIL=1 makes every attempt fail."""
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
-    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+    # 240 s: the probe's tiny compile goes through the serialized
+    # remote-compile service; measured 58 s with one busy CPU core and
+    # 3x120 s false-negatived once while two host jobs were running
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
     code = ("import jax; d = jax.devices(); "
             "import jax.numpy as jnp; "
             "print('OK', len(d), d[0].platform, "

@@ -131,7 +131,11 @@ def fullsize_drift(frames=300):
     orig_zeros = torch.zeros
     torch.zeros = lambda *a, **k: (k.pop("device", None),
                                    orig_zeros(*a, **k))[1]
-    tm = nn_models.simple_u_net_doubleselfattn(**cfg.model_kwargs)
+    import inspect
+    accepted = inspect.signature(
+        nn_models.simple_u_net_doubleselfattn.__init__).parameters
+    tm = nn_models.simple_u_net_doubleselfattn(
+        **{k: v for k, v in cfg.model_kwargs.items() if k in accepted})
     torch.zeros = orig_zeros
     variables = jax.tree.map(jnp.asarray, port.port_unet_auto(
         tm.state_dict()))
