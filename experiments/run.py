@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--csv-dir")
     ap.add_argument("--chunk-frames", type=int, default=None,
                     help="streamed bounded-memory HCQT for --audio-dir")
+    ap.add_argument("--schema", default=None,
+                    help="annotation schema preset for --csv-dir"
+                         " (io.NOTE_EVENT_SCHEMAS: musicnet, swd, bach10,"
+                         " phenicx, csd); default auto-detects"
+                         " MusicNet/SWD csv")
     ap.add_argument("--out-dir", default="runs")
     ap.add_argument("--smoke", action="store_true",
                     help="synthetic data + 1 epoch + shrunken model")
@@ -73,7 +78,8 @@ def main():
     elif args.audio_dir:
         assert args.csv_dir, "--csv-dir required with --audio-dir"
         corpus = AudioCorpus(args.audio_dir, args.csv_dir,
-                             chunk_frames=args.chunk_frames)
+                             chunk_frames=args.chunk_frames,
+                             annotation_schema=args.schema)
         epochs = args.epochs
     else:
         assert args.data_dir and args.annot_dir, \
