@@ -217,8 +217,17 @@ def main(argv=None):
 
     sd = _load_state_dict(args.checkpoint)
     nn_models = _reference_models()
+    # the reference scripts' model_params dicts carry keys the
+    # constructors never receive (e.g. exp180e's n_ch_out — the script
+    # passes an explicit subset, exp180e…py:225-227); the registry keeps
+    # the dict faithfully, so filter by the constructor's signature
+    import inspect
+
+    ref_cls = getattr(nn_models, model_name)
+    accepted = inspect.signature(ref_cls.__init__).parameters
     with _patched_torch_cpu():
-        tm = getattr(nn_models, model_name)(**model_kwargs)
+        tm = ref_cls(**{k: v for k, v in model_kwargs.items()
+                        if k in accepted})
     tm.load_state_dict(sd)
     tm.eval()
 
