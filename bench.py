@@ -170,10 +170,10 @@ def main():
                 "error": "tpu_unavailable",
                 "error_detail": detail,
                 "last_known_good": {
-                    "windowed_f32_rt": 40.8, "windowed_int8_rt": 45.4,
-                    "vs_baseline": 0.908,
-                    "source": "round-3 in-round measurement on the real "
-                              "v5e chip (ROADMAP.md, perf/results_r3_*)"},
+                    "windowed_f32_rt": 42.1, "windowed_int8_rt": 46.5,
+                    "vs_baseline": 0.93,
+                    "source": "round-4 in-round measurement on the real "
+                              "v5e chip, real-recording span (ROADMAP.md)"},
             }))
             return
 

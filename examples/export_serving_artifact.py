@@ -229,8 +229,8 @@ def main():
     e.add_argument("--group", type=int, default=0)
     e.add_argument("--int8", action="store_true",
                    help="export the calibrated W8A8 int8 serving variant"
-                        " (eval/quant.py; +11%% windowed serving, 45.4x"
-                        " vs 40.8x f32 with tails included, round 3)")
+                        " (eval/quant.py; +10%% windowed serving, 46.5x"
+                        " vs 42.1x f32 with tails included, round 4)")
     e.add_argument("--calibrate-hcqt",
                    help="HCQT .npy for int8 activation calibration")
     e.add_argument("--calibrate-percentile", type=float, default=None,

@@ -15,9 +15,10 @@ a flax method interceptor replaces every big-enough ``nn.Conv`` with
 LayerNorm, BatchNorm, attention, pooling, bilinear resize, and the
 small head convs stay f32 (negligible FLOP share; quantizing them risks
 accuracy for no speed). Measured on the windowed HCQT+SAUnet:XL protocol
-pipeline (v5e, round 3, tails included): dynamic +1.6% (the per-call
-max re-reads every activation tensor), calibrated static +11%
-(40.8x -> 45.4x real-time, bench.py). NOT protocol-exact: an opt-in
+pipeline (v5e, round 4, tails included, real-recording span): dynamic
++1.6% (the per-call max re-reads every activation tensor), calibrated
+static +10% (42.1x -> 46.5x real-time per-recording, 47.8x steady,
+bench.py). NOT protocol-exact: an opt-in
 serving mode whose accuracy cost must be measured per checkpoint — the
 export CLI enforces this via :func:`int8_drift_report` (refuses >1e-3
 drift). Calibration policy matters (perf/int8_calibration_study.py,

@@ -32,9 +32,10 @@ Supports the plain DoubleConv branch (alt_order=False, residual=False,
 inc_residual=False) used by every ``simple_u_net*`` paper config; other
 configurations raise.
 
-.. note:: **Measured on the v5e (round 3, bench.py): this mode is ~8%
-   SLOWER than recomputing** — 37.3x vs 40.8x f32 windowed (44.4x vs
-   45.4x with int8 downstream). At 91% of achievable MXU peak the inc
+.. note:: **Measured on the v5e (rounds 3-4, bench.py): this mode is
+   ~9% SLOWER than recomputing** — 38.4x vs 42.1x f32 windowed (46.1x
+   vs 46.5x with int8 downstream; round-4 real-recording span). At
+   ~94% of achievable MXU peak the inc
    FLOPs overlap HBM traffic, and the interior gather + edge assembly
    move more bytes than the saved FLOPs are worth. It remains exact and
    tested; use it on compute-bound backends (CPU) or skip it on TPU.

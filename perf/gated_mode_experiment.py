@@ -19,7 +19,18 @@ import sys
 import numpy as np
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Default CPU (deterministic, no tunnel dependency). The --fullsize gate
+# at exp180e scale is intractable on this box's single core (the int8
+# emulated forward ground >2.5 h without finishing), so
+# MULTIPITCH_GATE_PLATFORM=axon runs it on the real chip — which is
+# also the more honest evidence: drift is measured on the platform that
+# actually serves (int8 programs differ ~ulp across platforms anyway;
+# see eval/quant.py reproducibility note).
+jax.config.update("jax_platforms",
+                  os.environ.get("MULTIPITCH_GATE_PLATFORM", "cpu"))
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/multipitch_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
