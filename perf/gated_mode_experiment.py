@@ -115,16 +115,19 @@ FAMILIES = (
         num_polyphony_steps=24), "multitask"),
 )
 
-def fullsize_drift(frames=300):
+def fullsize_drift(frames=300,
+                   config="exp180e_musicnet_unet_insanelylarge_doubleselfattn"):
     """Headline-SCALE int8 gate evidence (VERDICT r3 task 4): the exact
-    exp180e SAUnet:XL config with RANDOM-PORTED weights (torch init →
+    paper-scale ``config`` with RANDOM-PORTED weights (torch init →
     models/port.py, like tests/test_e2e_parity.py's full-size gate), the
     per-recording calibrated static-scale policy bench.py serves, drift
     vs the f32 windowed protocol over ``frames`` frames. Small
     synthetic-TRAINED checkpoints cover trained-distribution fitness
     (FAMILIES above); this covers the real geometry — 600-token
     positional encodings, full bottleneck width, fp32 accumulation depth
-    — that tiny configs cannot."""
+    — that tiny configs cannot. Works for any ``simple_u_net*`` registry
+    config (port_unet_auto covers the family); defaults to the exp180e
+    headline, ``exp195f_…polyphony_softmax`` is the PUnet at scale."""
     import types
 
     sys.path.insert(0, "/root/reference")
@@ -135,17 +138,16 @@ def fullsize_drift(frames=300):
     from multipitch_architectures_tpu.experiments import load_experiment
     from multipitch_architectures_tpu.models import port
 
-    cfg = load_experiment(
-        "exp180e_musicnet_unet_insanelylarge_doubleselfattn")
+    cfg = load_experiment(config)
     model = cfg.build_model()
     torch.manual_seed(0)
     orig_zeros = torch.zeros
     torch.zeros = lambda *a, **k: (k.pop("device", None),
                                    orig_zeros(*a, **k))[1]
     import inspect
-    accepted = inspect.signature(
-        nn_models.simple_u_net_doubleselfattn.__init__).parameters
-    tm = nn_models.simple_u_net_doubleselfattn(
+    ref_cls = getattr(nn_models, cfg.model_class)
+    accepted = inspect.signature(ref_cls.__init__).parameters
+    tm = ref_cls(
         **{k: v for k, v in cfg.model_kwargs.items() if k in accepted})
     torch.zeros = orig_zeros
     variables = jax.tree.map(jnp.asarray, port.port_unet_auto(
@@ -156,7 +158,8 @@ def fullsize_drift(frames=300):
     global targ
     targ = (rng.rand(frames, 72) > 0.9).astype(np.float32)
 
-    print(f"\n######## SAUnet:XL exp180e random-ported, {frames} frames")
+    print(f"\n######## {cfg.model_class} {config} random-ported,"
+          f" {frames} frames")
     pred_f = predict_framewise(
         lambda v, xw: model.apply(v, xw, train=False), variables, inputs,
         batch_size=50)
@@ -180,7 +183,8 @@ def fullsize_drift(frames=300):
 
 only = sys.argv[1] if len(sys.argv) > 1 else None
 if only == "--fullsize":
-    fullsize_drift(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
+    fullsize_drift(int(sys.argv[2]) if len(sys.argv) > 2 else 300,
+                   *sys.argv[3:4])
     sys.exit(0)
 
 for name, make_model, loss in FAMILIES:
