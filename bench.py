@@ -83,7 +83,15 @@ def _probe_backend():
     # remote-compile service; measured 58 s with one busy CPU core and
     # 3x120 s false-negatived once while two host jobs were running
     timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
-    code = ("import jax; d = jax.devices(); "
+    # BENCH_PROBE_PLATFORM pins the CHILD's jax platform (tests set
+    # "cpu" so the suite's probe test never initializes the axon tunnel
+    # — during an outage the unpinned probe would stall attempts×timeout
+    # inside the CPU test suite); production leaves it unset so the
+    # probe tests the real backend.
+    plat = os.environ.get("BENCH_PROBE_PLATFORM")
+    pin = (f"jax.config.update('jax_platforms', {plat!r}); " if plat
+           else "")
+    code = ("import jax; " + pin + "d = jax.devices(); "
             "import jax.numpy as jnp; "
             "print('OK', len(d), d[0].platform, "
             "float(jnp.ones((8, 8)).sum()))")
@@ -125,6 +133,39 @@ def _make_guard(smoke, section_errors):
             return None
 
     return guard
+
+
+_LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "perf", "last_known_good.json")
+
+
+def _store_last_known_good(out):
+    """Refresh perf/last_known_good.json from a successful real run so
+    the tpu_unavailable record's context is measured data, never
+    hand-maintained prose constants (the same no-rot rule as
+    _load_gate_provenance)."""
+    try:
+        with open(_LKG_PATH, "w") as f:
+            json.dump({
+                "windowed_f32_rt": out.get("windowed_f32_rt"),
+                "windowed_int8_rt": out.get("windowed_int8_rt"),
+                "value": out["value"],
+                "headline_mode": out.get("headline_mode"),
+                "vs_baseline": out["vs_baseline"],
+                "source": "last successful bench.py run on the real "
+                          "chip (self-recorded)",
+            }, f, indent=1)
+    except OSError:
+        pass                       # read-only checkout: context is optional
+
+
+def _load_last_known_good():
+    try:
+        with open(_LKG_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {"error": "no prior successful run recorded "
+                         "(perf/last_known_good.json missing/corrupt)"}
 
 
 def _load_gate_provenance():
@@ -169,11 +210,7 @@ def main():
                 "vs_baseline": 0.0,
                 "error": "tpu_unavailable",
                 "error_detail": detail,
-                "last_known_good": {
-                    "windowed_f32_rt": 42.1, "windowed_int8_rt": 46.5,
-                    "vs_baseline": 0.93,
-                    "source": "round-4 in-round measurement on the real "
-                              "v5e chip, real-recording span (ROADMAP.md)"},
+                "last_known_good": _load_last_known_good(),
             }))
             return
 
@@ -532,6 +569,8 @@ def main():
         }
     if section_errors:
         out["section_errors"] = section_errors
+    if not smoke and out.get("value", 0) > 0:
+        _store_last_known_good(out)
     print(json.dumps(out))
 
 

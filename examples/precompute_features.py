@@ -29,6 +29,8 @@ from multipitch_architectures_tpu.dsp import (  # noqa: E402
     compute_annotation_array_nooverlap, compute_efficient_hcqt)
 from multipitch_architectures_tpu.io import (  # noqa: E402
     load_audio, load_note_events)
+from multipitch_architectures_tpu.io.audio import \
+    NOTE_EVENT_SCHEMAS  # noqa: E402
 
 
 def main():
@@ -43,8 +45,8 @@ def main():
                     help="bounded-memory streamed HCQT for long"
                          " recordings (dsp.cqt_streamed)")
     ap.add_argument("--schema", default=None,
-                    help="annotation schema preset (io.NOTE_EVENT_SCHEMAS:"
-                         " musicnet, swd, bach10, phenicx, csd);"
+                    choices=sorted(NOTE_EVENT_SCHEMAS),
+                    help="annotation schema preset (io.NOTE_EVENT_SCHEMAS);"
                          " default auto-detects MusicNet/SWD csv")
     args = ap.parse_args()
 

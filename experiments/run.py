@@ -53,6 +53,15 @@ def main():
                     help="write a jax.profiler trace of the run to DIR"
                          " (TensorBoard-loadable)")
     args = ap.parse_args()
+    if args.schema is not None:
+        # deferred import keeps --help/--list jax-free; validate at
+        # startup rather than dying with a KeyError after the first
+        # file's HCQT is already computed
+        from multipitch_architectures_tpu.io.audio import \
+            NOTE_EVENT_SCHEMAS
+        if args.schema not in NOTE_EVENT_SCHEMAS:
+            ap.error(f"--schema {args.schema!r} unknown; choose from "
+                     f"{sorted(NOTE_EVENT_SCHEMAS)}")
 
     if args.cpu or args.smoke:
         import jax

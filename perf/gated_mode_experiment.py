@@ -128,28 +128,16 @@ def fullsize_drift(frames=300,
     — that tiny configs cannot. Works for any ``simple_u_net*`` registry
     config (port_unet_auto covers the family); defaults to the exp180e
     headline, ``exp195f_…polyphony_softmax`` is the PUnet at scale."""
-    import types
-
-    sys.path.insert(0, "/root/reference")
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
-    import torch
-    from libdl import nn_models
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from reference_oracle import build_reference_model
 
     from multipitch_architectures_tpu.experiments import load_experiment
     from multipitch_architectures_tpu.models import port
 
     cfg = load_experiment(config)
     model = cfg.build_model()
-    torch.manual_seed(0)
-    orig_zeros = torch.zeros
-    torch.zeros = lambda *a, **k: (k.pop("device", None),
-                                   orig_zeros(*a, **k))[1]
-    import inspect
-    ref_cls = getattr(nn_models, cfg.model_class)
-    accepted = inspect.signature(ref_cls.__init__).parameters
-    tm = ref_cls(
-        **{k: v for k, v in cfg.model_kwargs.items() if k in accepted})
-    torch.zeros = orig_zeros
+    tm = build_reference_model(cfg.model_class, cfg.model_kwargs)
     variables = jax.tree.map(jnp.asarray, port.port_unet_auto(
         tm.state_dict()))
 
@@ -183,8 +171,15 @@ def fullsize_drift(frames=300,
 
 only = sys.argv[1] if len(sys.argv) > 1 else None
 if only == "--fullsize":
-    fullsize_drift(int(sys.argv[2]) if len(sys.argv) > 2 else 300,
-                   *sys.argv[3:4])
+    # operands in either order: an int is the frame count, anything
+    # else is a registry config name
+    kw = {}
+    for a in sys.argv[2:4]:
+        try:
+            kw["frames"] = int(a)
+        except ValueError:
+            kw["config"] = a
+    fullsize_drift(**kw)
     sys.exit(0)
 
 for name, make_model, loss in FAMILIES:

@@ -50,39 +50,8 @@ def _clear_jax_caches_between_modules():
 
     jax.clear_caches()
 
-REFERENCE_ROOT = "/root/reference"
-
-
-class patched_torch_cpu:
-    """Context manager stripping the reference's hard-coded ``device="cuda:0"``
-    (libdl/nn_models/unet_cnns.py:121,128,176,183) so its models build on CPU."""
-
-    def __enter__(self):
-        import torch
-
-        self._orig = torch.zeros
-
-        def cpu_zeros(*a, **k):
-            k.pop("device", None)
-            return self._orig(*a, **k)
-
-        torch.zeros = cpu_zeros
-        return self
-
-    def __exit__(self, *exc):
-        import torch
-
-        torch.zeros = self._orig
-        return False
-
-
-def reference_models():
-    """Import the reference torch model zoo as a numerical oracle (read-only;
-    used in tests only, never vendored). Returns None if unavailable."""
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-    try:
-        from libdl import nn_models  # noqa: F401
-        return nn_models
-    except Exception:
-        return None
+# Shared reference-oracle scaffolding (single home: tools/reference_oracle.py;
+# re-exported here so tests keep importing from conftest).
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+from reference_oracle import (REFERENCE_ROOT,  # noqa: E402,F401
+                              patched_torch_cpu, reference_models)

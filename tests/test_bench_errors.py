@@ -36,15 +36,28 @@ def test_backend_unavailable_emits_structured_error_json():
 
 
 def test_probe_retries_and_succeeds_within_attempts():
-    """The probe itself must succeed against a live (CPU-capable) child
-    interpreter — guards against the probe code string rotting."""
+    """The probe itself must succeed against a live (CPU-pinned) child
+    interpreter — guards against the probe code string rotting. The
+    child is pinned to CPU (BENCH_PROBE_PLATFORM): unpinned it would
+    initialize the real axon tunnel from inside the CPU suite and stall
+    attempts x timeout during exactly the outage bench.py now
+    survives."""
     sys.path.insert(0, REPO)
     import importlib
 
     bench = importlib.import_module("bench")
-    ok, detail = bench._probe_backend()
+    os.environ.update(BENCH_PROBE_PLATFORM="cpu",
+                      BENCH_PROBE_ATTEMPTS="2",
+                      BENCH_PROBE_TIMEOUT_S="120")
+    try:
+        ok, detail = bench._probe_backend()
+    finally:
+        for k in ("BENCH_PROBE_PLATFORM", "BENCH_PROBE_ATTEMPTS",
+                  "BENCH_PROBE_TIMEOUT_S"):
+            os.environ.pop(k, None)
     assert ok, detail
     assert detail.startswith("OK")
+    assert " cpu " in detail            # the pin reached the child
 
 
 def test_section_guard_records_instead_of_dropping():

@@ -39,13 +39,13 @@ import argparse
 import json
 import os
 import sys
-import types
-
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-REFERENCE_ROOT = os.environ.get("MULTIPITCH_REFERENCE", "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reference_oracle import build_reference_model  # noqa: E402
 
 EVAL_MEASURES = [
     "precision", "recall", "f_measure", "cosine_sim",
@@ -53,37 +53,6 @@ EVAL_MEASURES = [
     "soft_accuracy", "accum_energy", "roc_auc_measure",
     "average_precision_score",
 ]
-
-
-class _patched_torch_cpu:
-    """Strip the reference's hard-coded ``device="cuda:0"``
-    (libdl/nn_models/unet_cnns.py:121,128) so its models build on CPU."""
-
-    def __enter__(self):
-        import torch
-
-        self._orig = torch.zeros
-
-        def cpu_zeros(*a, **k):
-            k.pop("device", None)
-            return self._orig(*a, **k)
-
-        torch.zeros = cpu_zeros
-        return self
-
-    def __exit__(self, *exc):
-        import torch
-
-        torch.zeros = self._orig
-        return False
-
-
-def _reference_models():
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
-    from libdl import nn_models
-    return nn_models
 
 
 def _load_state_dict(path):
@@ -156,12 +125,19 @@ def _load_inputs(args):
     return np.transpose(f, (2, 1, 0))
 
 
-def _load_targets(path, t_frames):
+def _load_targets(path, t_frames, full_frames=None):
+    """Load a (T, bins) target roll; ``full_frames`` is the recording's
+    UNTRUNCATED frame count — layout detection must match against it,
+    not the --frames-truncated ``t_frames`` (a (72, T) reference-layout
+    file would otherwise never be transposed when --frames < T)."""
+    full = full_frames or t_frames
     tg = np.load(path)
     if tg.ndim != 2:
         raise ValueError(f"targets must be 2-D, got {tg.shape}")
-    if tg.shape[0] != t_frames and tg.shape[1] == t_frames:
+    if tg.shape[0] != full and tg.shape[1] == full:
         tg = tg.T                                    # reference (bins, T)
+    elif tg.shape[0] in (72, 128) and tg.shape[1] not in (72, 128):
+        tg = tg.T                    # bins-first heuristic (count mismatch)
     if tg.shape[1] == 128:                           # full MIDI roll
         tg = tg[:, 24:96]                            # reference pitch range
     return tg[:t_frames].astype(np.float32)
@@ -216,22 +192,15 @@ def main(argv=None):
         model_name, model_kwargs = args.model, json.loads(args.model_args)
 
     sd = _load_state_dict(args.checkpoint)
-    nn_models = _reference_models()
-    # the reference scripts' model_params dicts carry keys the
-    # constructors never receive (e.g. exp180e's n_ch_out — the script
-    # passes an explicit subset, exp180e…py:225-227); the registry keeps
-    # the dict faithfully, so filter by the constructor's signature
-    import inspect
-
-    ref_cls = getattr(nn_models, model_name)
-    accepted = inspect.signature(ref_cls.__init__).parameters
-    with _patched_torch_cpu():
-        tm = ref_cls(**{k: v for k, v in model_kwargs.items()
-                        if k in accepted})
+    # reference_oracle filters model_kwargs by the constructor signature
+    # (the reference scripts' model_params dicts carry keys the
+    # constructors never receive, e.g. exp180e's n_ch_out —
+    # exp180e…py:225-227; the registry keeps the dict faithfully)
+    tm = build_reference_model(model_name, model_kwargs)
     tm.load_state_dict(sd)
-    tm.eval()
 
     inputs = _load_inputs(args)
+    full_frames = inputs.shape[1]
     if args.frames:
         inputs = inputs[:, :args.frames]
     t_frames = inputs.shape[1]
@@ -254,7 +223,7 @@ def main(argv=None):
 
     failed = []
     if args.targets:
-        targets = _load_targets(args.targets, t_frames)
+        targets = _load_targets(args.targets, t_frames, full_frames)
         ours = calculate_eval_measures(targets, got, EVAL_MEASURES,
                                        threshold=0.4)
         theirs = calculate_eval_measures(targets, want, EVAL_MEASURES,
@@ -275,9 +244,12 @@ def main(argv=None):
             print(f"{m:28s} {theirs[m]:10.5f} {ours[m]:10.5f} "
                   f"{drift:10.2e} {'PASS' if ok else 'FAIL'}")
     else:
+        pred_gate = max(args.gate, 2e-4 + 1e-2 * float(np.abs(want).max()))
         print("(no --targets: measure drift table skipped; gating on "
-              "raw prediction drift)")
-        if pred_drift > max(args.gate, 2e-4 + 1e-2 * np.abs(want).max()):
+              f"raw prediction drift <= {pred_gate:.2e} — a looser "
+              "heuristic than the measure gate, NOT a parity claim vs "
+              f"{args.gate:g})")
+        if pred_drift > pred_gate:
             failed.append("prediction_drift")
 
     if args.int8:
@@ -309,7 +281,9 @@ def main(argv=None):
 
     print(f"\n{'PASS' if not failed else 'FAIL'}"
           + (f" — failed: {', '.join(failed)}" if failed else
-             f" — all gates within {args.gate:g}"))
+             (f" — all gates within {args.gate:g}" if args.targets else
+              " — prediction-drift heuristic passed (run with --targets"
+              " for the 25-measure 1e-3 parity claim)")))
     return 1 if failed else 0
 
 
