@@ -93,6 +93,49 @@ def test_section_guard_records_instead_of_dropping():
         guard_smoke("dense", boom)
 
 
+def test_budget_skips_are_recorded_and_never_stored_as_lkg():
+    """A tight wall-clock budget (cold compile cache) skips secondary
+    sections — the skip must be visible in the record
+    (``sections_skipped_budget``) and a truncated run must never
+    overwrite perf/last_known_good.json (observed round 4: a fresh-boot
+    cold run downgraded the stored best from the 46.5x int8 headline to
+    the f32-only 42.1x)."""
+    sys.path.insert(0, REPO)
+    import importlib
+    import time
+
+    bench = importlib.import_module("bench")
+
+    # exhausted budget: every section skipped, in order, by name
+    skipped = []
+    within = bench._make_budget_check(
+        smoke=False, bench_start=time.perf_counter() - 100.0,
+        budget_s=10.0, skipped=skipped)
+    assert not within(0.5, "dense") and not within(0.6, "int8")
+    assert skipped == ["dense", "int8"]
+
+    # generous budget: nothing skipped
+    ok = []
+    within = bench._make_budget_check(
+        smoke=False, bench_start=time.perf_counter(), budget_s=1e9,
+        skipped=ok)
+    assert within(0.5, "dense") and ok == []
+
+    # smoke mode never skips even with a dead budget
+    smoke_skips = []
+    within = bench._make_budget_check(
+        smoke=True, bench_start=time.perf_counter() - 100.0,
+        budget_s=0.0, skipped=smoke_skips)
+    assert within(0.5, "dense") and smoke_skips == []
+
+    # the LKG file itself must carry the full (non-truncated) headline:
+    # int8 present and >= the f32 rate it competes against
+    with open(os.path.join(REPO, "perf", "last_known_good.json")) as f:
+        lkg = json.load(f)
+    assert lkg["windowed_int8_rt"] is not None
+    assert lkg["value"] >= lkg["windowed_f32_rt"]
+
+
 def test_gate_provenance_is_structured_and_current():
     """The int8 gate claim embedded in the bench record must come from
     the committed measurement JSON (perf/int8_gate_measured.json), not
