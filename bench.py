@@ -34,6 +34,18 @@ enqueue through the TPU tunnel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
+Record-vs-pipe split (VERDICT r4 task 1 — the round-4 record had rc=0
+but was unparseable because the single stdout line grew to ~3.9 KB and
+the driver stores only a 2,000-char tail, beheading the JSON): the FULL
+record (embedded gate provenance, accounting prose, evidence strings)
+is written to ``perf/bench_record.json``; the final stdout line is a
+COMPACT summary hard-capped at ``_LINE_CAP`` (1,500) chars — enforced
+by ``_emit`` in success and BOTH error modes, and asserted by
+``tests/test_bench_errors.py`` — so it survives a tail capture with
+headroom. ``BENCH_RECORD_PATH`` overrides the record path (tests point
+it at tmp so forced-error subprocess runs never clobber the real
+record).
+
 Resilience (VERDICT r3 task 1 — a tunnel outage voided the round-3
 record): backend init is probed in a bounded subprocess with retries
 BEFORE any in-process jax work (an in-process ``jax.devices()`` against
@@ -158,6 +170,103 @@ def _make_guard(smoke, section_errors):
 _LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "perf", "last_known_good.json")
 
+# Hard cap for the final stdout line. The driver keeps a 2,000-char tail
+# of stdout; 1,500 leaves headroom for stray warnings sharing the tail.
+_LINE_CAP = 1500
+
+
+def _record_path():
+    """Where the FULL record goes. ``BENCH_RECORD_PATH`` overrides
+    (tests route subprocess runs to tmp); any ``BENCH_FORCE_*`` hook
+    without an explicit override suppresses the write entirely so a
+    forced-error test run can never clobber the real run's record."""
+    p = os.environ.get("BENCH_RECORD_PATH")
+    if p:
+        return p
+    forced = any(k.startswith("BENCH_FORCE_") and os.environ[k]
+                 for k in os.environ)
+    if forced or os.environ.get("BENCH_SMOKE") == "1":
+        return None
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "perf", "bench_record.json")
+
+
+def _gate_digest(g):
+    """Compact stand-in for the ~2 KB embedded gate provenance: row
+    count, pass verdict, worst measured drift, pointer to the file."""
+    if not isinstance(g, dict) or not isinstance(g.get("rows"), list):
+        return {"error": str(g)[:120]}
+    rows = g["rows"]
+    drifts = [r.get("worst_of_25_measures_drift") for r in rows
+              if isinstance(r.get("worst_of_25_measures_drift"),
+                            (int, float))]
+    return {"gate": g.get("gate"), "rows": len(rows),
+            "all_passed": bool(rows) and all(r.get("passed")
+                                             for r in rows),
+            "worst_drift": max(drifts) if drifts else None,
+            "detail": "perf/int8_gate_measured.json"}
+
+
+def _compact_summary(out, saved):
+    """The stdout view of the record: every number survives; prose
+    blobs are replaced by digests/pointers into the full record file."""
+    s = {}
+    for k, v in out.items():
+        if k == "int8_gate_measured":
+            s["int8_gate"] = _gate_digest(v)
+        elif k == "int8_accounting":
+            continue                  # prose; lives in the record file
+        elif k == "hardware_bound" and isinstance(v, dict):
+            h = dict(v)
+            h.pop("evidence", None)   # prose pointer; in the record file
+            s[k] = h
+        elif k == "last_known_good" and isinstance(v, dict):
+            s[k] = {kk: vv for kk, vv in v.items() if kk != "source"}
+        elif k == "error_detail":
+            d = " | ".join(str(x) for x in v) if isinstance(v, list) \
+                else str(v)
+            s[k] = d if len(d) <= 400 else d[:397] + "..."
+        else:
+            s[k] = v
+    if saved:
+        s["record"] = saved
+    return s
+
+
+def _emit(out):
+    """Single exit point for ALL bench outcomes: write the full record
+    to disk, print one compact JSON line guaranteed <= _LINE_CAP chars
+    (progressively dropping optional fields, core fields last-resort).
+    The cap is what makes the driver record parseable — round 4's line
+    grew past the driver's 2,000-char tail window and was beheaded."""
+    path = _record_path()
+    saved = None
+    if path:
+        try:
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+            rel = os.path.relpath(
+                path, os.path.dirname(os.path.abspath(__file__)))
+            saved = rel if not rel.startswith("..") else path
+        except OSError:
+            saved = None              # read-only checkout: line only
+    line_obj = _compact_summary(out, saved)
+    line = json.dumps(line_obj)
+    for k in ("int8_gate", "section_errors", "sections_skipped_budget",
+              "hardware_bound", "last_known_good", "error_detail",
+              "dp_train_step_ms", "sharded_windowed_rt"):
+        if len(line) <= _LINE_CAP:
+            break
+        line_obj.pop(k, None)
+        line = json.dumps(line_obj)
+    if len(line) > _LINE_CAP:         # unreachable by construction; belt
+        core_keys = ("metric", "value", "unit", "vs_baseline", "error",
+                     "record")
+        line = json.dumps({k: line_obj[k] for k in core_keys
+                           if k in line_obj})
+    print(line)
+
 
 def _store_last_known_good(out):
     """Refresh perf/last_known_good.json from a successful real run so
@@ -229,7 +338,7 @@ def main():
     if not smoke:
         ok, detail = _probe_backend()
         if not ok:
-            print(json.dumps({
+            _emit({
                 "metric": "hcqt_saunet_xl_windowed_protocol_realtime_factor",
                 "value": 0.0,
                 "unit": "audio-sec/sec/chip",
@@ -237,7 +346,7 @@ def main():
                 "error": "tpu_unavailable",
                 "error_detail": detail,
                 "last_known_good": _load_last_known_good(),
-            }))
+            })
             return
 
     import jax
@@ -560,8 +669,17 @@ def main():
     # (SURVEY §6); 25 windows/step ⇒ epoch minutes = steps × ms / 60e3.
     if within_budget(0.7, "train_step"):
         def _train_section():
-            out["train_step_ms_saunet_l_bs25"] = _train_step_ms(
-                jax, model=model if smoke else None)
+            ms, flops = _train_step_ms(jax, model=model if smoke else None)
+            out["train_step_ms_saunet_l_bs25"] = ms
+            # auditable efficiency accounting for the training claim,
+            # mirroring the inference side (VERDICT r4 task 7): FLOPs
+            # from XLA's own cost model on the compiled fwd+bwd+update
+            # executable, rate vs the chip's best measured matmul rate.
+            if flops:
+                tflops = round(flops / (ms * 1e9), 1)
+                out["train_step_tflops_effective"] = tflops
+                out["train_step_pct_peak"] = round(
+                    100.0 * tflops / 161.0, 1)
 
         guard("train_step", _train_section)
 
@@ -602,10 +720,15 @@ def main():
     if section_errors:
         out["section_errors"] = section_errors
     # budget-truncated runs never overwrite the last-known-good context
-    # (see _store_last_known_good); section errors still store
-    if not smoke and out.get("value", 0) > 0 and not skipped:
+    # (see _store_last_known_good); section errors still store. Only
+    # skips of HEADLINE-COMPETING sections block storage — informational
+    # sections (dense, train_step, dp_scaling, int8_secondary) never
+    # affect out["value"], so skipping them is scheduling, not a weaker
+    # measurement (ADVICE r4).
+    headline_skipped = {"sharedinc", "int8"} & set(skipped)
+    if not smoke and out.get("value", 0) > 0 and not headline_skipped:
         _store_last_known_good(out)
-    print(json.dumps(out))
+    _emit(out)
 
 
 def _sharded_inference_scaling(jax, model_grouped, variables, audio_dev,
@@ -639,7 +762,12 @@ def _train_step_ms(jax, model=None):
     """Single-chip SAUnet:L (exp180d config) train-step time, batch 25:
     jitted loss+grad+optimizer update, median-of-5 after compile, honest
     host-fetch sync. ``model`` overrides the flagship config (smoke
-    mode's tiny model)."""
+    mode's tiny model).
+
+    Returns ``(ms, flops)``: ``flops`` is XLA's own cost-model estimate
+    for the compiled step executable (fwd+bwd+optimizer at bs=25), or
+    ``None`` where the backend exposes no cost analysis — it feeds the
+    ``train_step_tflops_effective`` accounting in the record."""
     import jax.numpy as jnp
 
     from multipitch_architectures_tpu.experiments import load_experiment
@@ -656,6 +784,22 @@ def _train_step_ms(jax, model=None):
     y = jnp.zeros((25, 1, 1, 72), jnp.float32)
     xs, ys, ws = tr._shard(x, y)
     key = jax.random.PRNGKey(0)
+    flops = None
+    try:
+        # lower BEFORE the first call (_train_step donates the state
+        # buffers; lowering never consumes them) and take the
+        # LOWERING-level cost analysis: no backend compile (a second
+        # multi-minute tunnel compile of the same program), and the
+        # unoptimized-HLO FLOP count is the analytic work-in-program
+        # number, comparable to the inference side's 83.25 GFLOP/window.
+        # NB the jit wrapper's .lower does not bind self (static arg 0).
+        ca = tr._train_step.lower(tr, state, xs, ys, ws,
+                                  key).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     state, loss = tr._train_step(state, xs, ys, ws, key)       # compile
     float(loss)
     times = []
@@ -664,7 +808,7 @@ def _train_step_ms(jax, model=None):
         state, loss = tr._train_step(state, xs, ys, ws, key)
         float(loss)
         times.append(time.perf_counter() - t0)
-    return round(sorted(times)[2] * 1e3, 1)
+    return round(sorted(times)[2] * 1e3, 1), flops
 
 
 def _dp_step_scaling(jax, model=None):
@@ -715,7 +859,7 @@ if __name__ == "__main__":
             raise
         import traceback
 
-        print(json.dumps({
+        _emit({
             "metric": "hcqt_saunet_xl_windowed_protocol_realtime_factor",
             "value": 0.0,
             "unit": "audio-sec/sec/chip",
@@ -723,4 +867,4 @@ if __name__ == "__main__":
             "error": "bench_failed",
             "error_detail":
                 traceback.format_exc().strip().splitlines()[-4:],
-        }))
+        })

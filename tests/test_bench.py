@@ -32,6 +32,7 @@ def test_bench_smoke_runs_all_modes():
                          env=env)
     assert res.returncode == 0, res.stderr[-3000:]
     line = res.stdout.strip().splitlines()[-1]
+    assert len(line) < 1500, len(line)     # fits the driver tail capture
     out = json.loads(line)
     # every mode must have produced its record (numbers are meaningless
     # on CPU; presence proves the code path executes) — including the

@@ -23,7 +23,16 @@ real data. Exit code 0 = all gates pass.
 
 Inputs:
   --config NAME          experiment registry entry (model class+kwargs), or
-  --model NAME --model-args JSON   explicit reference class name + kwargs
+  --model NAME --model-args JSON   explicit reference class name + kwargs,
+                         or NEITHER: the config is auto-resolved from the
+                         checkpoint filename (the published checkpoints are
+                         named after their experiment with an extra
+                         ``aligned`` token, e.g.
+                         ``exp214c_bigmix_aligned_cnn_deepresnetwide.pt`` →
+                         registry ``exp214c_bigmix_cnn_deepresnetwide``) —
+                         so the real-data gate is literally
+                         ``parity_gate.py --checkpoint <blob.pt> --hcqt …``
+                         the moment the .MISSING_LARGE_BLOBS files appear
   --hcqt F.npy           precomputed HCQT, reference layout (216, T, 6), or
   --audio F.wav          raw audio (22.05 kHz; HCQT computed on device)
   --targets F.npy        pitch roll, (T, 72) or reference (72, T) layout
@@ -53,6 +62,55 @@ EVAL_MEASURES = [
     "soft_accuracy", "accum_energy", "roc_auc_measure",
     "average_precision_score",
 ]
+
+
+def resolve_config_from_checkpoint(path, registry_names=None):
+    """Map a published-checkpoint filename to its experiment registry
+    entry (VERDICT r4 task 8 — the blob-drop one-liner).
+
+    The three stripped checkpoints (/root/reference/.MISSING_LARGE_BLOBS)
+    are named after their experiment script with an extra ``aligned``
+    token and optional ``_model`` suffix, e.g.
+    ``RETRAIN4_exp195f_musicnet_aligned_unet_…_softmax_rerun1.pt`` →
+    registry ``RETRAIN4_exp195f_musicnet_unet_…_softmax_rerun1``.
+
+    Resolution: strip ``.pt``/``_model``, try the exact name, then the
+    name with ``aligned`` tokens removed, then the unique registry entry
+    whose underscore-token sequence is a subsequence of the filename's
+    (same leading exp token). Raises ValueError with candidates when
+    ambiguous or unknown."""
+    if registry_names is None:
+        from multipitch_architectures_tpu.experiments import (
+            available_experiments)
+
+        registry_names = available_experiments()
+    base = os.path.basename(path)
+    for suffix in (".pt", ".pth"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    if base.endswith("_model"):
+        base = base[: -len("_model")]
+    if base in registry_names:
+        return base
+    toks = [t for t in base.split("_") if t != "aligned"]
+    cleaned = "_".join(toks)
+    if cleaned in registry_names:
+        return cleaned
+
+    def _subseq(needle, hay):
+        it = iter(hay)
+        return all(t in it for t in needle)
+
+    exp_tok = next((t for t in toks if t.startswith("exp")), None)
+    cands = [n for n in registry_names
+             if exp_tok and exp_tok in n.split("_")
+             and _subseq(n.split("_"), toks)]
+    if len(cands) == 1:
+        return cands[0]
+    raise ValueError(
+        f"cannot resolve a registry config from checkpoint name {base!r}"
+        + (f"; candidates: {sorted(cands)}" if cands else
+           " (no matching experiment; pass --config/--model explicitly)"))
 
 
 def _load_state_dict(path):
@@ -171,7 +229,10 @@ def main(argv=None):
     if not (args.hcqt or args.audio):
         ap.error("one of --hcqt / --audio is required")
     if not (args.config or args.model):
-        ap.error("one of --config / --model is required")
+        # blob-drop one-liner: published checkpoints are named after
+        # their experiment — resolve the registry entry from the file
+        args.config = resolve_config_from_checkpoint(args.checkpoint)
+        print(f"config auto-resolved from checkpoint name: {args.config}")
 
     import jax
 
