@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--chunk-frames", type=int, default=None,
                     help="bounded-memory streamed HCQT for long"
                          " recordings (dsp.cqt_streamed)")
+    ap.add_argument("--exact-frontend", action="store_true",
+                    help="exact per-octave full-rate CQT (no multirate "
+                    "approximation; slower, for gate-marginal serving)")
     ap.add_argument("--schema", default=None,
                     choices=sorted(NOTE_EVENT_SCHEMAS),
                     help="annotation schema preset (io.NOTE_EVENT_SCHEMAS);"
@@ -60,7 +63,7 @@ def main():
         f_hcqt, fs_hcqt, _ = compute_efficient_hcqt(
             audio, fs=args.fs, fs_hcqt_target=args.fs_hcqt_target,
             bins_per_octave=args.bins_per_octave, num_octaves=6,
-            chunk_frames=args.chunk_frames)
+            chunk_frames=args.chunk_frames, exact=args.exact_frontend)
         annot = os.path.join(args.csv_dir, name + ".csv")
         if not os.path.exists(annot):
             annot = os.path.join(args.csv_dir, name + ".txt")

@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--model-args", default="{}", help="JSON kwargs")
     ap.add_argument("--hcqt", help="precomputed HCQT .npy (216, T, 6)")
     ap.add_argument("--audio", help="audio .npy/.wav (22.05 kHz)")
+    ap.add_argument("--exact-frontend", action="store_true",
+                    help="with --audio: exact per-octave full-rate CQT "
+                    "(no multirate approximation; slower, for "
+                    "gate-marginal serving)")
     ap.add_argument("--out", default="prediction.npy")
     ap.add_argument("--batch-size", type=int, default=50)
     ap.add_argument("--int8", action="store_true",
@@ -85,7 +89,8 @@ def main():
 
         audio = load_audio(args.audio, 22050)
         f, _, _ = compute_efficient_hcqt(audio, fs=22050, fs_hcqt_target=50,
-                                         bins_per_octave=36, num_octaves=6)
+                                         bins_per_octave=36, num_octaves=6,
+                                         exact=args.exact_frontend)
         inputs = np.transpose(f, (2, 1, 0))
 
     def apply_fn(v, x):

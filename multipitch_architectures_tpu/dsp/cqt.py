@@ -75,10 +75,22 @@ class CqtPlan:
     n_bins: int
     bins_per_octave: int
     filter_scale: float = 1.0
+    exact: bool = False
     _data: tuple = field(default=None, repr=False, compare=False)
 
     @staticmethod
-    def create(fs, hop, fmin, n_bins, bins_per_octave, filter_scale=1.0):
+    def create(fs, hop, fmin, n_bins, bins_per_octave, filter_scale=1.0,
+               exact=False):
+        """``exact=True`` builds PER-OCTAVE full-rate kernel banks and
+        skips the decimation chain entirely: the result matches the
+        direct constant-Q definition (:func:`cqt_direct_numpy`) to f32
+        rounding instead of the multirate scheme's ~3e-3 rel-to-peak
+        kernel-reuse error (measured: perf/frontend_precision_study.py
+        — the error is NOT the half-band filter, so no tap upgrade can
+        remove it). Costs ~2 extra memory passes per octave of depth;
+        use for gate-marginal audio-input serving (the F-gate budget is
+        1e-3 and the multirate approximation alone consumes 9.6e-4 of
+        it end-to-end, perf/results_r4_frontend_approx.txt)."""
         n_octaves = int(math.ceil(n_bins / bins_per_octave))
         if hop % (2 ** (n_octaves - 1)) != 0:
             raise ValueError(
@@ -88,6 +100,19 @@ class CqtPlan:
         f_low_top = fmin * 2.0 ** (n_octaves - 1)
         if f_low_top * 2.0 > fs / 2.0 * 1.01:
             raise ValueError("top octave exceeds Nyquist")
+        if exact:
+            krs, sqls, n_ffts = [], [], []
+            for j in range(n_octaves):       # j=0 -> lowest octave
+                kernels, lengths, n_fft = _top_octave_kernels(
+                    fs, fmin * 2.0 ** j, bins_per_octave, filter_scale)
+                krs.append(np.asarray(np.concatenate(
+                    [kernels.real, -kernels.imag], axis=1), np.float32))
+                sqls.append(np.asarray(np.sqrt(lengths), np.float32))
+                n_ffts.append(n_fft)
+            data = (tuple(map(_freeze, krs)), tuple(map(_freeze, sqls)),
+                    tuple(n_ffts), n_octaves)
+            return CqtPlan(fs, hop, fmin, n_bins, bins_per_octave,
+                           filter_scale, exact=True, _data=data)
         kernels, lengths, n_fft = _top_octave_kernels(
             fs, f_low_top, bins_per_octave, filter_scale)
         # real matmul kernel: (n_fft, 2*bpo) = [Re | -Im] (conjugate corr.)
@@ -206,7 +231,20 @@ def cqt(y, plan: CqtPlan, use_pallas: bool = False):
     share a compile. The octave loop unrolls into a single XLA graph of
     frame gather+matmuls — or, with ``use_pallas=True``, into the fused
     gather+MXU+magnitude Pallas kernel per octave (ops/pallas_cqt.py).
+
+    Exact plans (``CqtPlan.create(..., exact=True)``) run one full-rate
+    gather+matmul per octave instead of the decimation chain —
+    ``use_pallas`` is ignored there (the exact path is HBM-bound on the
+    frame gather, not MXU-bound).
     """
+    if plan.exact:
+        krs, sqls, n_ffts, _ = plan._data
+        return _cqt_exact_impl(
+            jnp.asarray(y, jnp.float32),
+            tuple(jnp.asarray(k.a) for k in krs),
+            tuple(jnp.asarray(s.a) for s in sqls),
+            hop=plan.hop, n_ffts=n_ffts, bpo=plan.bins_per_octave,
+            n_bins=plan.n_bins)
     kr, sqrt_lengths, n_fft, n_octaves, taps = [
         d.a if isinstance(d, _HashableArray) else d for d in plan._data]
     return _cqt_impl(jnp.asarray(y, jnp.float32), jnp.asarray(kr),
@@ -214,6 +252,24 @@ def cqt(y, plan: CqtPlan, use_pallas: bool = False):
                      hop=plan.hop, n_fft=n_fft, n_octaves=n_octaves,
                      bpo=plan.bins_per_octave, n_bins=plan.n_bins,
                      use_pallas=use_pallas)
+
+
+@partial(jax.jit, static_argnames=("hop", "n_ffts", "bpo", "n_bins"))
+def _cqt_exact_impl(y, krs, sqls, *, hop, n_ffts, bpo, n_bins):
+    """Exact CQT: per-octave full-rate kernel banks, no decimation.
+    Matches :func:`cqt_direct_numpy` to f32 rounding (same centered
+    reflect-padded correlation, same L1-normalized Hann kernels, same
+    sqrt-length scaling) — the direct constant-Q definition as a stack
+    of MXU matmuls. Octave j is bins [j·bpo, (j+1)·bpo) from fmin."""
+    n_frames = y.shape[0] // hop + 1
+    octaves = []
+    for kr, sql, n_fft in zip(krs, sqls, n_ffts):
+        ri = _frame_matmul(y, kr, n_fft, hop, n_frames)   # (T, 2bpo)
+        re, im = ri[:, :bpo], ri[:, bpo:]
+        octaves.append(jnp.sqrt(re * re + im * im + 1e-30) * sql)
+    out = jnp.concatenate(octaves, axis=1)        # ascending frequency
+    out = out[:, -n_bins:] if out.shape[1] != n_bins else out
+    return out.T                                  # (n_bins, T)
 
 
 @partial(jax.jit, static_argnames=("hop", "n_fft", "n_octaves", "bpo",
@@ -265,19 +321,23 @@ def cqt_streamed(y, plan: CqtPlan, chunk_frames: int = 8192,
     Returns host numpy (n_bins, n_frames); chunks stream through the
     device one at a time.
     """
-    kr, sqrt_lengths, n_fft, n_octaves, taps = [
-        d.a if isinstance(d, _HashableArray) else d for d in plan._data]
     hop = plan.hop
     y = np.asarray(y, np.float32)
     n_frames = len(y) // hop + 1
     if n_frames <= chunk_frames:
         return np.asarray(cqt(y, plan, use_pallas=use_pallas))
 
-    deep = 2 ** (n_octaves - 1)
-    # deepest-octave kernel half-support + decimation-chain support,
-    # in original-rate samples, rounded up to a whole hop so chunk
-    # starts stay frame- and decimation-grid-aligned (hop % deep == 0)
-    ctx = (n_fft // 2) * deep + (taps.shape[0] // 2) * 2 * deep
+    if plan.exact:
+        # lowest octave's full-rate window is the only edge reach
+        ctx = plan._data[2][0] // 2
+    else:
+        kr, sqrt_lengths, n_fft, n_octaves, taps = [
+            d.a if isinstance(d, _HashableArray) else d for d in plan._data]
+        deep = 2 ** (n_octaves - 1)
+        # deepest-octave kernel half-support + decimation-chain support,
+        # in original-rate samples, rounded up to a whole hop so chunk
+        # starts stay frame- and decimation-grid-aligned (hop % deep == 0)
+        ctx = (n_fft // 2) * deep + (taps.shape[0] // 2) * 2 * deep
     ctx = -(-ctx // hop) * hop
 
     outs = []

@@ -52,8 +52,9 @@ def _centered_fmin(fmin, bins_per_octave, center_bins):
 
 
 @lru_cache(maxsize=32)
-def _plan(fs, hop, fmin, n_bins, bins_per_octave):
-    return CqtPlan.create(fs, hop, fmin, n_bins, bins_per_octave)
+def _plan(fs, hop, fmin, n_bins, bins_per_octave, exact=False):
+    return CqtPlan.create(fs, hop, fmin, n_bins, bins_per_octave,
+                          exact=exact)
 
 
 def _harmonic_layout(num_harmonics, num_subharmonics):
@@ -81,7 +82,8 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
                           num_subharmonics=1, center_bins=True,
                           tuning: Optional[float] = 0.0,
                           use_pallas: Optional[bool] = None,
-                          chunk_frames: Optional[int] = None):
+                          chunk_frames: Optional[int] = None,
+                          exact: bool = False):
     """Efficient HCQT with zero host roundtrips: the whole pipeline stays
     on device; returns (jnp (n_harm, T, F) in the model layout, fs_hcqt,
     hopsize). ``tuning`` must be a number here (estimation is a host-side
@@ -94,7 +96,16 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
     ``chunk_frames`` switches to the bounded-memory streamed CQT
     (:func:`..dsp.cqt.cqt_streamed`) for arbitrarily long recordings —
     identical frames, chunks pass through the device one at a time, and
-    the result is a HOST numpy array instead of a device array."""
+    the result is a HOST numpy array instead of a device array.
+
+    ``exact=True`` replaces the multirate CQT engine with per-octave
+    full-rate kernel banks (no decimation): features match the direct
+    constant-Q definition to f32 rounding, removing the ~3e-3
+    rel-to-peak kernel-reuse approximation that consumes 96% of the
+    1e-3 F-gate budget end-to-end (perf/frontend_precision_study.py,
+    perf/results_r4_frontend_approx.txt). Slower and more HBM-hungry —
+    intended for gate-marginal audio-input serving, not training
+    sweeps."""
     if use_pallas is None:
         import jax
 
@@ -118,7 +129,7 @@ def efficient_hcqt_device(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
         max_shift = max(s for b, s in assignment if b == base)
         plan = _plan(float(fs), int(hopsize_cqt), float(fmin_tuned * base),
                      int((num_octaves + max_shift) * bins_per_octave),
-                     int(bins_per_octave))
+                     int(bins_per_octave), exact=exact)
         if chunk_frames:
             f_cqt = cqt_streamed(y, plan, chunk_frames=chunk_frames,
                                  use_pallas=use_pallas)   # (bins, T) host
@@ -138,7 +149,8 @@ def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
                            bins_per_octave=60, num_octaves=6, num_harmonics=5,
                            num_subharmonics=1, center_bins=True,
                            tuning: Optional[float] = None,
-                           chunk_frames: Optional[int] = None):
+                           chunk_frames: Optional[int] = None,
+                           exact: bool = False):
     """Efficient HCQT (reference hcqt.py:89-164): shared CQTs per base
     harmonic, octave-shifted slices for 2^k-related harmonics.
 
@@ -157,7 +169,7 @@ def compute_efficient_hcqt(f_audio, fs=22050, fmin=C1_HZ, fs_hcqt_target=91,
         bins_per_octave=bins_per_octave, num_octaves=num_octaves,
         num_harmonics=num_harmonics, num_subharmonics=num_subharmonics,
         center_bins=center_bins, tuning=float(tuning),
-        chunk_frames=chunk_frames)
+        chunk_frames=chunk_frames, exact=exact)
     # (n_harm, T, F) -> reference layout (F, T, n_harm) numpy. The
     # streamed path returns a HOST array; transpose it on host (pushing
     # a multi-hour recording back through the device would defeat the

@@ -32,8 +32,16 @@ prediction delta mean 3.8e-5, worst-of-25-measures drift 9.6e-4
 (False Alarm Error) — PASS vs 1e-3, marginal; every other measure well
 under.
 
+Round 5 adds the EXACT-frontend row (dsp ``exact=True``: per-octave
+full-rate kernels, no decimation — perf/frontend_precision_study.py
+showed the multirate gap is kernel-reuse error no half-band upgrade can
+fix): the same trained checkpoint evaluated on exact-frontend features
+vs the oracle, with a 5e-4 headroom target for gate-marginal
+audio-input serving (VERDICT r4 task 6).
+
 Run on CPU: python perf/frontend_approx_fparity.py
-Results: perf/results_r4_frontend_approx.txt
+Results: perf/results_r4_frontend_approx.txt (r4),
+         perf/results_r5_frontend_approx.txt (r5, + exact row)
 """
 import os
 import sys
@@ -178,20 +186,42 @@ def main():
                                                 min_pitch=24))
         return m
 
+    print("computing the exact-frontend HCQT (dsp exact=True, r5)...")
+    f_exact, _, _ = compute_efficient_hcqt(
+        test_audio, fs=FS, fs_hcqt_target=50, bins_per_octave=36,
+        num_octaves=6, tuning=0.0, exact=True)
+    exact_x = np.ascontiguousarray(np.transpose(f_exact, (2, 1, 0)))
+    exact_rel = np.abs(oracle_x - exact_x).max() / test_x.max()
+    print(f"feature gap exact-vs-oracle: {exact_rel:.2e} rel-to-peak")
+
     apply_fn = lambda v, xw: model.apply(v, xw, train=False)
     pred_prod = predict_framewise(apply_fn, variables, test_x,
                                   batch_size=50)
     pred_orac = predict_framewise(apply_fn, variables, oracle_x,
                                   batch_size=50)
+    pred_exact = predict_framewise(apply_fn, variables, exact_x,
+                                   batch_size=50)
     m_prod, m_orac = measures(pred_prod), measures(pred_orac)
+    m_exact = measures(pred_exact)
     print(f"F (production features) = {m_prod['f_measure']:.4f}")
     print(f"F (oracle features)     = {m_orac['f_measure']:.4f}")
+    print(f"F (exact frontend)      = {m_exact['f_measure']:.4f}")
     worst = max(abs(m_prod[k] - m_orac[k]) for k in m_prod)
     wk = max(m_prod, key=lambda k: abs(m_prod[k] - m_orac[k]))
     pd = np.abs(pred_prod - pred_orac)
-    print(f"prediction delta: max={pd.max():.5f} mean={pd.mean():.6f}")
-    print(f"worst-of-{len(m_prod)}-measures drift = {worst:.5f} ({wk}) "
+    print(f"prediction delta (prod): max={pd.max():.5f} "
+          f"mean={pd.mean():.6f}")
+    print(f"worst-of-{len(m_prod)}-measures drift (production vs oracle)"
+          f" = {worst:.5f} ({wk}) "
           f"{'PASS' if worst <= 1e-3 else 'FAIL'} vs 1e-3")
+    worst_e = max(abs(m_exact[k] - m_orac[k]) for k in m_orac)
+    wke = max(m_orac, key=lambda k: abs(m_exact[k] - m_orac[k]))
+    pde = np.abs(pred_exact - pred_orac)
+    print(f"prediction delta (exact): max={pde.max():.5f} "
+          f"mean={pde.mean():.6f}")
+    print(f"worst-of-{len(m_orac)}-measures drift (exact-frontend vs "
+          f"oracle) = {worst_e:.5f} ({wke}) — headroom target 5e-4: "
+          f"{'MET' if worst_e <= 5e-4 else 'NOT MET'}")
 
 
 if __name__ == "__main__":

@@ -251,3 +251,66 @@ def test_cqt_matches_committed_oracle_golden():
     interior = np.s_[:, 20:-20]                    # skip edge-pad frames
     rel = np.abs(x[interior] - oracle[interior]).max() / oracle.max()
     assert rel < 1e-3, rel
+
+
+def test_cqt_exact_matches_committed_oracle_to_f32():
+    """exact=True (per-octave full-rate kernel banks, no decimation)
+    removes the multirate kernel-reuse approximation entirely: it must
+    match the committed direct-DFT oracle golden to ~f32 rounding over
+    ALL frames, edges included (identical centered reflect-pad
+    semantics) — vs the multirate path's ~1e-3 interior-only agreement.
+    Decomposition measurement: perf/frontend_precision_study.py."""
+    import os
+
+    from multipitch_architectures_tpu.dsp import CqtPlan, cqt
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "cqt_direct_oracle_4s.npz"))
+    plan = CqtPlan.create(int(g["fs"]), int(g["hop"]), float(g["fmin"]),
+                          int(g["n_bins"]), int(g["bins_per_octave"]),
+                          exact=True)
+    x = np.asarray(cqt(g["audio"], plan))
+    oracle = g["oracle"]
+    assert x.shape == oracle.shape
+    rel = np.abs(x - oracle).max() / oracle.max()
+    assert rel < 1e-4, rel
+
+
+def test_cqt_streamed_exact_matches_full():
+    """The bounded-memory streamed path must reproduce the exact-mode
+    whole-recording computation (context = the lowest octave's
+    full-rate window reach; no decimation-chain support needed)."""
+    from multipitch_architectures_tpu.dsp import CqtPlan, cqt, cqt_streamed
+
+    fs, hop = 4096, 64
+    plan = CqtPlan.create(fs, hop, fmin=100.0, n_bins=108,
+                          bins_per_octave=36, exact=True)
+    rng = np.random.RandomState(0)
+    y = rng.randn(fs * 3).astype(np.float32)
+
+    full = np.asarray(cqt(y, plan))
+    streamed = cqt_streamed(y, plan, chunk_frames=48)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=1e-4)
+
+
+def test_efficient_hcqt_exact_mode():
+    """exact=True threads through the HCQT assembly: same layout and
+    frame count as the multirate path, finite magnitudes, and the two
+    engines agree to the multirate approximation's measured order
+    (~3e-3 rel-to-peak interior) on shared bins."""
+    from multipitch_architectures_tpu.dsp import compute_efficient_hcqt
+
+    y = chord(dur=3.0)
+    f_fast, fs_a, hop_a = compute_efficient_hcqt(
+        y, fs=FS, fs_hcqt_target=50, bins_per_octave=36, num_octaves=3,
+        num_harmonics=2, num_subharmonics=0, tuning=0.0)
+    f_ex, fs_b, hop_b = compute_efficient_hcqt(
+        y, fs=FS, fs_hcqt_target=50, bins_per_octave=36, num_octaves=3,
+        num_harmonics=2, num_subharmonics=0, tuning=0.0, exact=True)
+    assert (fs_a, hop_a) == (fs_b, hop_b)
+    assert f_ex.shape == f_fast.shape
+    assert np.isfinite(f_ex).all()
+    interior = np.s_[:, 10:-10, :]
+    rel = np.abs(f_ex[interior] - f_fast[interior]).max() / f_fast.max()
+    assert rel < 2e-2, rel

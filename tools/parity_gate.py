@@ -179,7 +179,9 @@ def _load_inputs(args):
              else load_audio(args.audio, 22050))
     f, _, _ = compute_efficient_hcqt(np.asarray(audio, np.float32),
                                      fs=22050, fs_hcqt_target=50,
-                                     bins_per_octave=36, num_octaves=6)
+                                     bins_per_octave=36, num_octaves=6,
+                                     exact=getattr(args, "exact_frontend",
+                                                   False))
     return np.transpose(f, (2, 1, 0))
 
 
@@ -213,6 +215,11 @@ def main(argv=None):
     ap.add_argument("--model-args", default="{}", help="JSON kwargs")
     ap.add_argument("--hcqt", help="precomputed HCQT .npy (216, T, 6)")
     ap.add_argument("--audio", help="audio .wav/.npy (22.05 kHz)")
+    ap.add_argument("--exact-frontend", action="store_true",
+                    help="with --audio: per-octave full-rate CQT "
+                    "kernels (no multirate decimation) — removes the "
+                    "~1e-3-class frontend approximation when the gate "
+                    "margin is tight (perf/frontend_precision_study.py)")
     ap.add_argument("--targets", help="pitch roll .npy (T,72) or (72,T)")
     ap.add_argument("--frames", type=int, default=0,
                     help="evaluate only the first N frames")
