@@ -169,7 +169,130 @@ def fullsize_drift(frames=300,
           f"{'PASS' if w <= 1e-3 else 'FAIL'}")
 
 
+def fullsize_trained_drift(
+        frames=600,
+        config="exp180e_musicnet_unet_insanelylarge_doubleselfattn",
+        hybrid_on_fail=True, epochs=20, lr=5e-4):
+    """TRAINED flagship-geometry int8 gate row (VERDICT r4 task 5).
+
+    The random-ported full-size rows under-test the gate: the trained
+    small PUnet FAILS uniform int8 (1.19e-3–1.78e-3) while random-ported
+    exp195f at full scale PASSES (8.8e-4) — weight/activation
+    DISTRIBUTION matters, not just geometry. This trains the exact
+    paper-scale ``config`` on the learnable synthetic corpus
+    (convergence irrelevant; a realistic trained distribution is the
+    point), caches the checkpoint under perf/_ckpt_cache/, and runs the
+    per-recording int8 gate on a held-out synthetic recording. On a
+    uniform-int8 FAIL it runs the eval.auto_hybrid_int8 repair — the
+    per-checkpoint export path (examples/export_serving_artifact.py
+    --int8-hybrid) — and reports the repaired row. Run on the chip:
+    MULTIPITCH_GATE_PLATFORM=axon (CPU cannot train this size on one
+    core). Reference contract: eval/quant.py:22-28."""
+    import flax.serialization
+
+    from multipitch_architectures_tpu.eval import auto_hybrid_int8
+    from multipitch_architectures_tpu.experiments import load_experiment
+
+    cfg = load_experiment(config)
+    model = cfg.build_model()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_ckpt_cache")
+    path = os.path.join(cache, f"fullsize_trained_{config}.msgpack")
+    print(f"\n######## {cfg.model_class} {config} TRAINED "
+          f"(synthetic corpus), {frames} frames")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            variables = flax.serialization.msgpack_restore(f.read())
+        variables = jax.tree.map(jnp.asarray, variables)
+        print(f"(cached checkpoint {path})")
+    else:
+        # the 4-epoch/2e-3 recipe that fits the small models leaves
+        # this 24M-param attention U-Net at its initial plateau (loss
+        # ~0.58, F=0, measured) — and a dead checkpoint predicting
+        # nothing passes any drift gate vacuously. Longer + gentler:
+        aug = AugmentConfig(noisestd=1e-4, compression=10.0)
+        pipeline = TrainPipeline(train_files, context=75, stride=5,
+                                 augment=aug, target_slice=(24, 96))
+        tc = TrainConfig(max_epochs=epochs, batch_size=16, initial_lr=lr,
+                         loss="bce", es_patience=epochs, scheduler=None,
+                         seed=0)
+        trainer = Trainer(model, tc)
+        state = trainer.init(jnp.zeros((1, 6, 75, 216)))
+        state, hist = trainer.fit(
+            lambda epoch, key: pipeline.batches(key, tc.batch_size), None,
+            state=state)
+        print("train loss:", [round(v, 4) for v in hist["train_loss"]])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        os.makedirs(cache, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.tree.map(np.asarray, variables)))
+
+    global targ
+    eval_x, eval_roll = synth_file(frames, seed=99)
+    targ = eval_roll[:, 24:96]
+
+    pred_f = predict_framewise(
+        lambda v, xw: model.apply(v, xw, train=False), variables, eval_x,
+        batch_size=50)
+    mf = measures(pred_f)
+    print(f"f32 F={mf['f_measure']:.4f}")
+    if mf["f_measure"] < 0.3:
+        print("REFUSING to emit a gate row: the checkpoint did not "
+              "learn (near-zero predictions pass any drift gate "
+              "vacuously). Delete the cache and retrain with more "
+              "epochs / different lr.")
+        sys.exit(2)
+
+    test_c = jnp.log1p(10.0 * jnp.asarray(eval_x, jnp.float32))
+    test_xp = jnp.pad(test_c, ((0, 0), (37, 38), (0, 0)))
+    rec_cal = [gather_windows(test_xp, 37 + 50 * b + np.arange(50), 75)
+               for b in range(4)]
+    scales_rec = calibrate_activation_scales(model, variables, rec_cal)
+    pred_q = predict_framewise(
+        quantized_apply_fn(model, activation_scales=scales_rec),
+        variables, eval_x, batch_size=50)
+    w = worst_delta(mf, measures(pred_q))
+    pd = np.abs(np.asarray(pred_f) - np.asarray(pred_q))
+    print(f"{'int8_recording':22s} worst-measure={w:.5f} "
+          f"pred max={pd.max():.5f} mean={pd.mean():.6f} "
+          f"{'PASS' if w <= 1e-3 else 'FAIL'}")
+    if w <= 1e-3 or not hybrid_on_fail:
+        return
+
+    # uniform int8 fails this trained distribution: run the shipped
+    # per-checkpoint repair (greedy f32 demotion, gate re-verified on
+    # windows spread across the recording)
+    t = eval_x.shape[1]
+    verify = [gather_windows(test_xp, 37 + int(s) + np.arange(50), 75)
+              for s in np.linspace(0, t - 50, num=6)]
+    policy, report = auto_hybrid_int8(model, variables, rec_cal,
+                                      gate=1e-3, verbose=True,
+                                      verify_windows=verify)
+    print(f"pseudo-target gate: worst={report['worst']:.5f} "
+          f"passed={report['passed']} excluded={list(policy['exclude'])}")
+    pred_h = predict_framewise(
+        quantized_apply_fn(model, **policy), variables, eval_x,
+        batch_size=50)
+    wh = worst_delta(mf, measures(pred_h))
+    pdh = np.abs(np.asarray(pred_f) - np.asarray(pred_h))
+    print(f"{'int8_hybrid':22s} worst-measure={wh:.5f} "
+          f"pred max={pdh.max():.5f} mean={pdh.mean():.6f} "
+          f"{'PASS' if wh <= 1e-3 else 'FAIL'}")
+
+
 only = sys.argv[1] if len(sys.argv) > 1 else None
+if only == "--fullsize-trained":
+    kw = {}
+    for a in sys.argv[2:4]:
+        try:
+            kw["frames"] = int(a)
+        except ValueError:
+            kw["config"] = a
+    fullsize_trained_drift(**kw)
+    sys.exit(0)
 if only == "--fullsize":
     # operands in either order: an int is the frame count, anything
     # else is a registry config name
