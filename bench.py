@@ -713,7 +713,11 @@ def main():
             "evidence": "perf/pallas_int8_matmul_probe.py (int8 MXU rate "
                         "= bf16 rate), eval/shared_inc.py measured 8% "
                         "slower, dense mode breaks the F-gate for U-Nets "
-                        "(perf/dense_fparity_experiment.py); ROADMAP.md",
+                        "(perf/dense_fparity_experiment.py), tail packing "
+                        "5.26% slower (perf/results_r4_tail_packing.txt), "
+                        "scan rows >250 dead end-to-end "
+                        "(perf/results_r5_scan_rows.txt); ROADMAP.md",
+            "all_flop_cutting_routes_measured": True,
         }
     if skipped:
         out["sections_skipped_budget"] = skipped
