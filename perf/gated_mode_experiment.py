@@ -172,7 +172,7 @@ def fullsize_drift(frames=300,
 def fullsize_trained_drift(
         frames=600,
         config="exp180e_musicnet_unet_insanelylarge_doubleselfattn",
-        hybrid_on_fail=True, epochs=20, lr=5e-4):
+        hybrid_on_fail=True, epochs=30, lr=1e-3, stride=1):
     """TRAINED flagship-geometry int8 gate row (VERDICT r4 task 5).
 
     The random-ported full-size rows under-test the gate: the trained
@@ -208,10 +208,16 @@ def fullsize_trained_drift(
     else:
         # the 4-epoch/2e-3 recipe that fits the small models leaves
         # this 24M-param attention U-Net at its initial plateau (loss
-        # ~0.58, F=0, measured) — and a dead checkpoint predicting
-        # nothing passes any drift gate vacuously. Longer + gentler:
+        # ~0.58, F=0, measured: results_r5_fullsize_trained_gate.txt).
+        # Root cause is STEP COUNT, not lr: at init the attention U-Net
+        # predicts ~0.42 everywhere while the targets are ~3.5% dense,
+        # so the output bias must travel >3 logits, and Adam moves any
+        # parameter at most ~lr per step — 900 steps (stride 5, 20
+        # epochs) x 5e-4 simply cannot get there. stride=1 gives 225
+        # batches/epoch; epochs=30 at the reference lr 1e-3
+        # (exp180e optimizer_params) = ~6.7k steps, ample.
         aug = AugmentConfig(noisestd=1e-4, compression=10.0)
-        pipeline = TrainPipeline(train_files, context=75, stride=5,
+        pipeline = TrainPipeline(train_files, context=75, stride=stride,
                                  augment=aug, target_slice=(24, 96))
         tc = TrainConfig(max_epochs=epochs, batch_size=16, initial_lr=lr,
                          loss="bce", es_patience=epochs, scheduler=None,
@@ -285,12 +291,18 @@ def fullsize_trained_drift(
 
 only = sys.argv[1] if len(sys.argv) > 1 else None
 if only == "--fullsize-trained":
+    # operands: an int = frame count, key=value = recipe override
+    # (epochs/lr/stride), anything else = registry config name
     kw = {}
-    for a in sys.argv[2:4]:
-        try:
-            kw["frames"] = int(a)
-        except ValueError:
-            kw["config"] = a
+    for a in sys.argv[2:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            kw[k] = float(v) if k == "lr" else int(v)
+        else:
+            try:
+                kw["frames"] = int(a)
+            except ValueError:
+                kw["config"] = a
     fullsize_trained_drift(**kw)
     sys.exit(0)
 if only == "--fullsize":
