@@ -172,7 +172,7 @@ def fullsize_drift(frames=300,
 def fullsize_trained_drift(
         frames=600,
         config="exp180e_musicnet_unet_insanelylarge_doubleselfattn",
-        hybrid_on_fail=True, epochs=30, lr=1e-3, stride=1):
+        hybrid_on_fail=True, epochs=6, lr=1e-4, stride=5):
     """TRAINED flagship-geometry int8 gate row (VERDICT r4 task 5).
 
     The random-ported full-size rows under-test the gate: the trained
@@ -207,15 +207,17 @@ def fullsize_trained_drift(
         print(f"(cached checkpoint {path})")
     else:
         # the 4-epoch/2e-3 recipe that fits the small models leaves
-        # this 24M-param attention U-Net at its initial plateau (loss
-        # ~0.58, F=0, measured: results_r5_fullsize_trained_gate.txt).
-        # Root cause is STEP COUNT, not lr: at init the attention U-Net
-        # predicts ~0.42 everywhere while the targets are ~3.5% dense,
-        # so the output bias must travel >3 logits, and Adam moves any
-        # parameter at most ~lr per step — 900 steps (stride 5, 20
-        # epochs) x 5e-4 simply cannot get there. stride=1 gives 225
-        # batches/epoch; epochs=30 at the reference lr 1e-3
-        # (exp180e optimizer_params) = ~6.7k steps, ample.
+        # this 24M-param attention U-Net at F=0. The diagnostic ladder
+        # (perf/fullsize_train_diag.py, results_r5_train_diag.txt)
+        # isolated the ingredient: pure lr instability, specific to the
+        # exp180e geometry. At lr >= 5e-4 (dropout on or off) it
+        # diverges within 1 epoch to a degenerate constant-zero
+        # attractor, while exp180d (8M) learns fine at 5e-4; at lr=1e-4
+        # the SAME exp180e geometry learns cleanly (BCE 0.107 -> 0.011
+        # in 2 epochs, live sparse predictions). The reference trains
+        # this config at 1e-3 on real MusicNet at bs=25; the synthetic
+        # corpus at bs=16 needs the gentler rate — a convergence
+        # recipe, not a parity claim.
         aug = AugmentConfig(noisestd=1e-4, compression=10.0)
         pipeline = TrainPipeline(train_files, context=75, stride=stride,
                                  augment=aug, target_slice=(24, 96))
