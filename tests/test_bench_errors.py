@@ -13,10 +13,13 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
+@pytest.mark.slow          # spawns a fresh interpreter running bench.py
 def test_backend_unavailable_emits_structured_error_json(tmp_path):
     record = tmp_path / "record.json"
     env = dict(os.environ, BENCH_FORCE_BACKEND_FAIL="1",
@@ -76,8 +79,6 @@ def test_section_guard_records_instead_of_dropping():
     real errors (the CPU smoke test must fail loudly)."""
     sys.path.insert(0, REPO)
     import importlib
-
-    import pytest
 
     bench = importlib.import_module("bench")
 
@@ -262,6 +263,7 @@ def test_gate_provenance_is_structured_and_current():
         REPO, head["source"].split(" ")[0]))
 
 
+@pytest.mark.slow          # spawns a fresh interpreter running bench.py
 def test_primary_failure_still_emits_json():
     """Even a failure in the primary measurement path must leave ONE
     parseable JSON line (rc=0) instead of a bare traceback."""

@@ -427,6 +427,7 @@ def test_quantized_exclude_keeps_layers_f32():
     assert (part != f32).any()
 
 
+@pytest.mark.slow
 def test_auto_hybrid_int8_demotes_until_gate():
     """auto_hybrid_int8 greedily demotes convs to f32: an impossible
     (negative) gate forces full demotion — the returned policy excludes
@@ -459,6 +460,7 @@ def test_auto_hybrid_int8_demotes_until_gate():
     assert policy2["activation_scales"]
 
 
+@pytest.mark.slow
 def test_predict_framewise_int8_matches_manual_composition():
     """The one-call gated serving mode (per-recording, per-tensor
     calibration + windowed int8 protocol) equals the hand-rolled
@@ -538,6 +540,7 @@ def test_predict_framewise_int8_short_recording_all_f32():
     np.testing.assert_allclose(got, f32, atol=1e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_predict_framewise_int8_compile_once_across_recordings():
     """Per-recording calibration must NOT recompile the serving forward:
     scales travel as traced arguments (quantized_serving_fn), so a
@@ -609,6 +612,7 @@ def test_quantized_serving_fn_matches_baked_scales():
     assert np.abs(distorted - served).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_in_graph_calibrated_int8_pipeline():
     """The bench's single-dispatch int8 serving executable (calibration
     probe + traced scales + scanned int8 batches INSIDE one jit —
@@ -731,6 +735,7 @@ def test_predict_framewise_return_aux_polyphony():
     np.testing.assert_array_equal(pred, only)
 
 
+@pytest.mark.slow
 def test_shared_inc_matches_windowed_protocol():
     """predict_framewise_shared (cross-window sharing of the ``inc``
     interior, eval/shared_inc.py) must be float-reassociation-close to
@@ -771,6 +776,7 @@ def test_shared_inc_matches_windowed_protocol():
                         False)
 
 
+@pytest.mark.slow
 def test_shared_inc_supports_residual_down_blocks():
     """`residual` shortcuts live in the down/up blocks, never in inc
     (unets._encode passes inc_residual separately), so shared-inc must
@@ -798,6 +804,7 @@ def test_shared_inc_supports_residual_down_blocks():
         predict_framewise_shared(alt, variables, inputs, batch_size=25)
 
 
+@pytest.mark.slow
 def test_shared_inc_polyphony_aux_and_int8():
     """shared-inc composes with the PUnet aux head and the int8 serving
     interceptor (downstream convs quantized, shared ``inc`` kept f32)."""
@@ -851,6 +858,7 @@ def test_shared_inc_rejects_unsupported_double_conv_branches():
     SharedIncForward(SimpleUNetDoubleSelfAttn(**kw, residual=True))
 
 
+@pytest.mark.slow
 def test_predict_framewise_matches_committed_golden():
     """Whole-protocol output pin (VERDICT r3 task 9): committed
     predict_framewise outputs for a fixed tiny checkpoint + fixed

@@ -41,6 +41,7 @@ def checkpoint_and_data(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_parity_gate_passes_on_same_checkpoint(checkpoint_and_data, capsys):
     import parity_gate
 
@@ -64,6 +65,7 @@ def test_parity_gate_passes_on_same_checkpoint(checkpoint_and_data, capsys):
     assert out.count("PASS") >= 26            # 25 rows + final verdict
 
 
+@pytest.mark.slow
 def test_parity_gate_catches_a_porter_bug(checkpoint_and_data, capsys,
                                           monkeypatch):
     """Simulated porter regression: the ported variables get one conv

@@ -196,8 +196,17 @@ CASES = [
     "freq_selfattn", "freq_doubleselfattn",
 ]
 
+# The fast (-m "not slow") loop checks one representative of each
+# architectural ingredient — plain conv U-Net, bottleneck attention,
+# BLSTM, multitask softmax head, frequency-axis attention; the full
+# sweep (every variant, every porter branch) runs with the slow suite.
+FAST_CASES = {"simple_u_net", "doubleselfattn_pe", "blstm_depth1",
+              "polyphony_softmax", "freq_doubleselfattn"}
 
-@pytest.mark.parametrize("name", CASES)
+
+@pytest.mark.parametrize(
+    "name", [n if n in FAST_CASES else
+             pytest.param(n, marks=pytest.mark.slow) for n in CASES])
 def test_forward_parity_vs_reference(name):
     ref = reference_models()
     if ref is None:
