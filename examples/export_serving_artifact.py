@@ -106,21 +106,23 @@ def cmd_export(args):
             t = x.shape[1]
             # centers clamped into the recording so short files yield
             # full-size (possibly duplicated) calibration windows
-            def batches(starts):
+            def batches(starts, natural_tail=False):
                 out = []
                 for s in starts:
-                    centers = np.minimum(half + s + np.arange(50),
+                    n = min(50, t - s) if natural_tail else 50
+                    centers = np.minimum(half + s + np.arange(n),
                                          half + t - 1)
                     out.append(np.stack([xp[:, c - half:c + half + 1, :]
                                          for c in centers]))
                 return out
 
             cal = batches([50 * b for b in range(min(4, -(-t // 50)))])
-            # gate verification on windows SPREAD over the recording —
-            # the leading calibration span alone under-reports drift
-            # (perf/punet_hybrid_experiment.py)
-            verify = batches(sorted({int(s) for s in np.linspace(
-                0, max(t - 50, 0), num=min(6, -(-t // 50)))}))
+            # gate verification on the FULL protocol span (every group
+            # + natural tail): spread-window verification has a
+            # measured blind spot — 6-of-12 spread windows passed at
+            # 8.9e-4 while full-span drift was 1.83e-3 on the trained
+            # exp180e (perf/results_r5_fullsize_trained_gate.txt)
+            verify = batches(range(0, t, 50), natural_tail=True)
         else:
             print("WARNING: --int8 without --calibrate-hcqt calibrates "
                   "activation scales on random noise; real recordings "

@@ -397,7 +397,8 @@ def auto_hybrid_int8(model, variables, cal_windows,
                      min_kernel_elems: int = 4096, gate: float = 1e-3,
                      per_channel: bool = False, threshold: float = 0.4,
                      min_pitch: int = 24, verbose: bool = False,
-                     verify_windows=None, activation_scales=None):
+                     verify_windows=None, activation_scales=None,
+                     proxy_margin: float = 2.0):
     """Find an int8 policy that PASSES the drift gate on this checkpoint.
 
     Uniform static W8A8 does not fit every trained checkpoint: measured
@@ -425,9 +426,23 @@ def auto_hybrid_int8(model, variables, cal_windows,
     (default: the calibration windows). Measured to matter on the
     trained PUnet: verifying on the same leading windows passed the
     proxy at 5e-5 while the whole-recording TRUE drift was 1.16e-3 —
-    the flipping frames lived outside the verified span. Pass windows
-    SPREAD across the recording to close the proxy's blind spot
-    (perf/punet_hybrid_experiment.py).
+    the flipping frames lived outside the verified span. Spreading
+    windows across the recording is NOT enough either: on the trained
+    exp180e checkpoint 6-of-12 spread windows passed at 8.9e-4 while
+    the full-span drift was 1.83e-3
+    (perf/results_r5_fullsize_trained_gate.txt). Pass the protocol's
+    own batching of the WHOLE recording (``_gate_verify_windows``, what
+    :func:`predict_framewise_int8` does) so the proxy has no spatial
+    blind spot at all.
+
+    ``proxy_margin`` covers the proxy's remaining (non-spatial) bias:
+    pseudo-targets under-read TRUE-target drift even on full-span
+    verification — measured on the trained exp180e checkpoint, proxy
+    6.7e-4 vs true 1.19e-3 (~1.8x). The search therefore demotes until
+    the proxy clears ``gate / proxy_margin`` (default 2.0; the returned
+    report's ``gate``/``passed`` reflect the margined criterion). Set
+    ``proxy_margin=1.0`` to gate the proxy at face value, e.g. when the
+    caller verifies true drift itself.
 
     Demoting straight to f32 (not to dynamic scales) is deliberate: with
     per-recording calibration there is no distribution shift for dynamic
@@ -455,8 +470,17 @@ def auto_hybrid_int8(model, variables, cal_windows,
                                                min_kernel_elems,
                                                per_channel=per_channel))
     verify = cal_windows if verify_windows is None else verify_windows
+    # the search gates the PROXY at gate/proxy_margin: pseudo-targets
+    # under-read true-target drift by up to ~1.8x even with full-span
+    # verification (measured, trained exp180e: proxy 6.7e-4 while true
+    # drift was 1.19e-3 — perf/results_r5_fullsize_trained_gate_fullspan
+    # .txt; the r3 calibration study saw the two track closely on small
+    # checkpoints, so the margin costs nothing there: a policy passing
+    # gate/2 on the proxy is simply a couple of demotions deeper).
+    search_gate = gate / proxy_margin
     report = int8_drift_report(model, variables, verify, scales,
-                               min_kernel_elems, threshold, min_pitch, gate)
+                               min_kernel_elems, threshold, min_pitch,
+                               search_gate)
     demoted = []
     if not report["passed"] and scales:
         f32_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
@@ -493,7 +517,7 @@ def auto_hybrid_int8(model, variables, cal_windows,
             scales.pop(k, None)   # absent keys were running dynamic int8
             report = int8_drift_report(
                 model, variables, verify, scales, min_kernel_elems,
-                threshold, min_pitch, gate, exclude=demoted)
+                threshold, min_pitch, search_gate, exclude=demoted)
             if verbose:
                 print(f"  demoted {k} -> worst {report['worst']:.5f} "
                       f"{'PASS' if report['passed'] else 'fail'}")
@@ -502,6 +526,24 @@ def auto_hybrid_int8(model, variables, cal_windows,
     policy = dict(activation_scales=scales, exclude=tuple(demoted),
                   min_kernel_elems=min_kernel_elems)
     return policy, report
+
+
+def _gate_verify_windows(xp, t, batch_size, context):
+    """The drift gate's verification set: the protocol's OWN batching of
+    the whole recording — consecutive ``batch_size``-frame groups plus
+    the natural-size tail, so :func:`int8_drift_report`'s concatenated
+    predictions are exactly the frames :func:`predict_framewise` serves,
+    every frame once. Anything sparser has a measured blind spot: on the
+    trained exp180e checkpoint, windows spread over half the recording
+    passed the proxy gate at 8.9e-4 while the full-span drift was
+    1.83e-3 (perf/results_r5_fullsize_trained_gate.txt)."""
+    from ..data.windows import gather_windows
+
+    half = context // 2
+    return [gather_windows(
+        xp, jnp.asarray(half + s + np.arange(min(batch_size, t - s))),
+        context)
+        for s in range(0, t, batch_size)]
 
 
 def _main(y):
@@ -596,16 +638,16 @@ def predict_framewise_int8(model, variables, inputs, context: int = 75,
 
     exclude = ()
     if gate is not None:
-        # verification windows SPREAD across the recording (the gate's
-        # blind spot is content outside the leading calibration span)
-        n_b = -(-t // batch_size)
-        starts = np.unique(np.linspace(
-            0, max(t - batch_size, 0),
-            num=min(cal_batches, n_b)).astype(int))
-        verify = [gather_windows(
-            xp, jnp.asarray(np.minimum(half + s + np.arange(batch_size),
-                                       half + t - 1)), context)
-            for s in starts]
+        # gate verdicts on the FULL protocol span. Spread-window
+        # verification measurably under-reads true drift: on the
+        # trained exp180e checkpoint, 6-of-12 windows spread across the
+        # recording passed the proxy at 8.9e-4 while the whole-recording
+        # drift was 1.83e-3 (perf/results_r5_fullsize_trained_gate.txt,
+        # r5 rerun) — the blind spot the round-3 spreading fix closed
+        # for the small PUnet reopens at scale. Full-span verify is the
+        # protocol's own batching (natural-size tail), so the drift
+        # report concatenates to exactly the served output stream.
+        verify = _gate_verify_windows(xp, t, batch_size, context)
         policy, report = auto_hybrid_int8(model, variables, cal,
                                           min_kernel_elems, gate,
                                           per_channel=per_channel,

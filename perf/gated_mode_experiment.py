@@ -271,11 +271,15 @@ def fullsize_trained_drift(
         return
 
     # uniform int8 fails this trained distribution: run the shipped
-    # per-checkpoint repair (greedy f32 demotion, gate re-verified on
-    # windows spread across the recording)
+    # per-checkpoint repair (greedy f32 demotion). Gate re-verified on
+    # the FULL protocol span: the first r5 run proved 6 spread windows
+    # insufficient at this scale (proxy 8.9e-4 PASS, true whole-
+    # recording drift 1.83e-3 FAIL) — the fix now shipped in
+    # predict_framewise_int8/_gate_verify_windows, measured here.
+    from multipitch_architectures_tpu.eval.quant import \
+        _gate_verify_windows
     t = eval_x.shape[1]
-    verify = [gather_windows(test_xp, 37 + int(s) + np.arange(50), 75)
-              for s in np.linspace(0, t - 50, num=6)]
+    verify = _gate_verify_windows(test_xp, t, 50, 75)
     policy, report = auto_hybrid_int8(model, variables, rec_cal,
                                       gate=1e-3, verbose=True,
                                       verify_windows=verify)

@@ -518,6 +518,63 @@ def test_predict_framewise_int8_matches_manual_composition():
     assert np.abs(got[:50] - q_all[:50]).max() > 1e-6
 
 
+def test_gate_verify_windows_cover_the_whole_protocol():
+    """The int8 drift gate must verify on the protocol's own batching of
+    the ENTIRE recording — every frame exactly once, natural-size tail.
+    Spread-window verification has a measured blind spot: on the trained
+    exp180e checkpoint 6-of-12 spread windows passed the proxy at 8.9e-4
+    while the full-span drift was 1.83e-3
+    (perf/results_r5_fullsize_trained_gate.txt)."""
+    from multipitch_architectures_tpu.eval.inference import _pad_inputs
+    from multipitch_architectures_tpu.eval.quant import \
+        _gate_verify_windows
+
+    t, context, bs = 130, 75, 50
+    half = context // 2
+    x = np.random.RandomState(0).rand(6, t, 216).astype(np.float32)
+    xp = _pad_inputs(jnp.asarray(x), context)
+    ws = _gate_verify_windows(xp, t, bs, context)
+    # protocol batching: full groups + natural-size tail
+    assert [int(w.shape[0]) for w in ws] == [50, 50, 30]
+    # concatenated window centers are frames 0..t-1, each exactly once
+    centers = np.concatenate([np.asarray(w)[:, :, half, :] for w in ws])
+    np.testing.assert_array_equal(centers, x.transpose(1, 0, 2))
+    # multiple-of-batch recordings get no ghost tail
+    assert [int(w.shape[0])
+            for w in _gate_verify_windows(xp, 100, bs, context)] == [50, 50]
+
+
+@pytest.mark.slow            # ~4 min: full gated-serve integration
+def test_predict_framewise_int8_gate_path():
+    """The self-gating serve (``gate=``): the verify set is the FULL
+    protocol span (built by ``_gate_verify_windows`` — see the blind
+    spot it closes in that helper's docstring), a generous gate passes
+    without demotion, and the gated output still composes the f32
+    calibration span with int8 downstream. Uses the basic CNN — its
+    15x15 kernels make int8 genuinely engage while compiling in seconds
+    (the tiny attention U-Net takes minutes per quantized graph on
+    XLA:CPU)."""
+    from multipitch_architectures_tpu.eval import (predict_framewise,
+                                                   predict_framewise_int8)
+
+    model = BasicCnnSegmSigmoid(n_chan_layers=(8, 8, 4, 2), n_bins_out=72)
+    rng = np.random.RandomState(11)
+    inputs = rng.rand(6, 60, 216).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 6, 75, 216)), train=False)
+
+    f32 = predict_framewise(
+        lambda v, xi: model.apply(v, xi, train=False), variables, inputs,
+        batch_size=25)
+    got = predict_framewise_int8(model, variables, inputs, batch_size=25,
+                                 cal_batches=2, gate=10.0)
+    assert got.shape == f32.shape
+    # calibration span is served from the exact f32 calibration pass;
+    # the int8 remainder stays close but not bit-equal
+    np.testing.assert_allclose(got[:50], f32[:50], atol=1e-6, rtol=0)
+    assert float(np.abs(got[50:] - f32[50:]).max()) < 0.2
+
+
 def test_predict_framewise_int8_short_recording_all_f32():
     """A recording no longer than the calibration span is served
     entirely from the exact f32 calibration pass."""

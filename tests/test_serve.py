@@ -248,3 +248,30 @@ def test_export_cli_refuses_int8_drift(tmp_path):
     fn = load_window_forward(out.read_bytes())
     assert fn.meta["int8"] is True
     assert fn.meta["batch_mode"] == "independent"
+
+
+def test_export_cli_int8_calibrates_and_verifies_full_span(tmp_path,
+                                                           capsys):
+    """--int8 with --calibrate-hcqt: calibration uses the leading
+    protocol batches and the drift gate verifies on the FULL recording
+    (every 50-frame group + natural tail — the spread-window blind spot
+    measured in perf/results_r5_fullsize_trained_gate.txt)."""
+    import argparse
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    import export_serving_artifact as cli
+
+    hcqt = np.random.RandomState(3).rand(6, 60, 216).astype(np.float32)
+    hpath = tmp_path / "h.npy"
+    np.save(hpath, hcqt)
+    out = tmp_path / "b.stablehlo"
+    cli.cmd_export(argparse.Namespace(
+        model="basic_cnn_segm_sigmoid",
+        model_args='{"n_chan_layers":[8,8,4,2],"n_bins_out":72}',
+        checkpoint=None, group=0, int8=True, calibrate_hcqt=str(hpath),
+        calibrate_percentile=None, calibrate_margin=1.0,
+        calibrate_per_channel=False, int8_hybrid=False, batch_size=4,
+        platforms="", out=str(out), allow_drift=False, drift_gate=1e-3))
+    assert out.exists()
+    assert "drift on verification windows" in capsys.readouterr().out
